@@ -1,0 +1,333 @@
+package graft.relational
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The t2 oracle suite from SURVEY §2.2: one query per mandated relational
+  * operator category, each expressed as a declarative DataFrame plan (so
+  * Catalyst owns pushdown / pruning / join selection / codegen) plus a
+  * DuckDB-dialect oracle SQL with identical output columns and ordering.
+  *
+  * Scale posture: every aggregation here is partial→final hash agg, every
+  * small-dim join is broadcastable (nation/region/one-row probes), the big
+  * joins (lineitem⋈orders) shuffle on their equi keys only, and no query
+  * collects to the driver.
+  */
+object RelationalSuite {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact money arithmetic both engines agree on: 2-dp decimal in, exact
+    * decimal sum, final DOUBLE cast (exact for our magnitudes). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- projection + filter + agg --------------------------------------
+    QuerySpec("q01_filter_agg",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 25)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("c"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, count(*) AS c FROM lineitem " +
+        "WHERE l_quantity > 25 GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    QuerySpec("q02_multi_filter",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 1000.0)
+        .agg(count(lit(1)).as("c")),
+      Some("SELECT count(*) AS c FROM orders " +
+        "WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0")),
+
+    // ---- joins ----------------------------------------------------------
+    QuerySpec("q03_join_broadcast",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("c"))
+        .orderBy("n_name"),
+      Some("SELECT n_name, count(*) AS c FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
+
+    QuerySpec("q04_join_large",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("c"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(*) AS c FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    QuerySpec("q05_self_join",
+      (s, d) => {
+        val c = t(s, d, "customer").select("c_nationkey", "c_mktsegment")
+        c.as("m").join(c.as("n"), Seq("c_nationkey", "c_mktsegment"))
+          .agg(count(lit(1)).as("c"))
+      },
+      Some("SELECT count(*) AS c FROM customer m JOIN customer n " +
+        "ON m.c_nationkey = n.c_nationkey AND m.c_mktsegment = n.c_mktsegment")),
+
+    QuerySpec("q06_left_outer",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .filter(o("o_orderkey").isNull)
+          .agg(count(lit(1)).as("c"))
+      },
+      Some("SELECT count(*) AS c FROM customer c " +
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "WHERE o.o_orderkey IS NULL")),
+
+    QuerySpec("q07_semi_join",
+      (s, d) => {
+        val p = t(s, d, "part")
+        val l = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+        p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+          .agg(count(lit(1)).as("c"))
+      },
+      Some("SELECT count(*) AS c FROM part WHERE p_partkey IN " +
+        "(SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)")),
+
+    QuerySpec("q08_anti_join",
+      (s, d) => {
+        val sup = t(s, d, "supplier"); val l = t(s, d, "lineitem")
+        sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_anti")
+          .agg(count(lit(1)).as("c"))
+      },
+      Some("SELECT count(*) AS c FROM supplier " +
+        "WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)")),
+
+    QuerySpec("q09_range_join",
+      (s, d) => {
+        val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey")
+            && l("l_shipdate") >= o("o_orderdate")
+            && l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .agg(count(lit(1)).as("c"))
+      },
+      Some("SELECT count(*) AS c FROM lineitem JOIN orders " +
+        "ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+        "AND l_shipdate < o_orderdate + INTERVAL 90 DAY")),
+
+    // ---- aggregation battery -------------------------------------------
+    QuerySpec("q10_agg_battery",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sq"),
+          dsum(col("l_extendedprice")).as("sp"),
+          round(dsum(col("l_discount")) / count(lit(1)), 4).as("ad"),
+          count(lit(1)).as("c"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp, " +
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS ad, " +
+        "count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    QuerySpec("q11_count_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("u"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, count(DISTINCT o_custkey) AS u " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    QuerySpec("q12_rollup",
+      (s, d) => t(s, d, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("n_regionkey").asc_nulls_first,
+          col("n_nationkey").asc_nulls_first),
+      Some("SELECT n_regionkey, n_nationkey, count(*) AS c FROM nation " +
+        "GROUP BY ROLLUP(n_regionkey, n_nationkey) " +
+        "ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST")),
+
+    QuerySpec("q13_collect_maxby",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          array_join(array_sort(collect_list(col("c_mktsegment"))), ",").as("segs"),
+          max_by(col("c_name"), col("c_acctbal")).as("richest"))
+        .orderBy("c_nationkey"),
+      Some("SELECT c_nationkey, " +
+        "string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs, " +
+        "max_by(c_name, c_acctbal) AS richest " +
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
+
+    // ---- window functions ----------------------------------------------
+    QuerySpec("q14_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, d, "part")
+          .select(col("p_brand"), col("p_name"), col("p_retailprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("p_brand", "rn")
+      },
+      Some("SELECT p_brand, p_name, p_retailprice, rn FROM " +
+        "(SELECT p_brand, p_name, p_retailprice, row_number() OVER " +
+        "(PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn " +
+        "FROM part) WHERE rn <= 3 ORDER BY p_brand, rn")),
+
+    QuerySpec("q15_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lag(col("o_orderdate").cast("date"), 1).over(w))
+              .cast("bigint").as("gap"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "date_diff('day', CAST(lag(o_orderdate) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE), " +
+        "CAST(o_orderdate AS DATE)) AS gap " +
+        "FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    QuerySpec("q16_window_frame",
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+          .rowsBetween(-2, Window.currentRow)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+              .cast("double").as("rsum"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    // ---- sort / limit / set ops ----------------------------------------
+    QuerySpec("q17_topk",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+
+    QuerySpec("q18_union",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("k"))
+        .union(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .distinct()
+        .orderBy("k").limit(50),
+      Some("SELECT k FROM (SELECT c_custkey AS k FROM customer " +
+        "UNION SELECT o_custkey FROM orders) ORDER BY k LIMIT 50")),
+
+    QuerySpec("q19_intersect",
+      (s, d) => t(s, d, "lineitem").select(col("l_partkey").as("k"))
+        .intersect(t(s, d, "part").filter(col("p_size") > 25)
+          .select(col("p_partkey").as("k")))
+        .agg(count(lit(1)).as("c")),
+      Some("SELECT count(*) AS c FROM (SELECT l_partkey FROM lineitem " +
+        "INTERSECT SELECT p_partkey FROM part WHERE p_size > 25)")),
+
+    QuerySpec("q20_dedup",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey").dropDuplicates()
+        .agg(count(lit(1)).as("c")),
+      Some("SELECT count(*) AS c FROM " +
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)")),
+
+    // ---- scalar functions ----------------------------------------------
+    QuerySpec("q21_strings",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_name").like("%ol%"))
+        .select(upper(substring(col("p_type"), 1, 5)).as("t5"))
+        .groupBy("t5").agg(count(lit(1)).as("c"))
+        .orderBy("t5"),
+      Some("SELECT upper(substring(p_type, 1, 5)) AS t5, count(*) AS c " +
+        "FROM part WHERE p_name LIKE '%ol%' GROUP BY t5 ORDER BY t5")),
+
+    QuerySpec("q22_json_date",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"),
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sk"))
+        .orderBy("d"),
+      Some("SELECT CAST(ts AS DATE) AS d, count(*) AS c, " +
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sk " +
+        "FROM events WHERE event_type = 'click' GROUP BY d ORDER BY d")),
+
+    QuerySpec("q23_asof_maxby",
+      (s, d) => t(s, d, "events")
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("ts")).as("last_type"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, max_by(event_type, ts) AS last_type " +
+        "FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00' " +
+        "GROUP BY user_id ORDER BY user_id")),
+
+    // ---- array higher-order functions ----------------------------------
+    QuerySpec("q24_array_hof",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("norm2"))
+        .orderBy("vec_id").limit(100),
+      Some("SELECT vec_id, round(list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2 " +
+        "FROM embeddings ORDER BY vec_id LIMIT 100")),
+
+    // ---- batch equivalent of streaming tumbling window (S1 ≡ Q25) ------
+    QuerySpec("q25_tumbling_batch",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("window_start", "event_type"),
+      Some("SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start, " +
+        "event_type, count(*) AS c FROM events " +
+        "GROUP BY window_start, event_type ORDER BY window_start, event_type")),
+
+    // ---- vector similarity: exact top-k dot-product for one probe ------
+    QuerySpec("q26_cosine_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("ea"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding").as("eb"))
+        cand.crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            round(aggregate(
+              zip_with(col("ea"), col("eb"),
+                (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x), 6).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id")).limit(10)
+      },
+      Some("SELECT b.vec_id AS vec_id, round(list_sum(list_transform(" +
+        "list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x['list_1'] AS DOUBLE) * CAST(x['list_2'] AS DOUBLE))), 6) AS dot " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0 " +
+        "ORDER BY dot DESC, vec_id LIMIT 10")),
+
+    // ---- text: token counts via explode --------------------------------
+    QuerySpec("q27_token_counts",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(20),
+      Some("SELECT tok, count(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 20"))
+  )
+
+  def byName(name: String): QuerySpec = specs.find(_.name == name).get
+}
