@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single construction point for every entry point (Verify, Bench, tests).
+  *
+  * Scale posture (designed for a multi-executor cluster, tested at
+  * local[N]):
+  *  - AQE on with skew-join + partition coalescing: runtime re-planning
+  *    replaces hand-tuned shuffle sizing when real data is skewed (the
+  *    in-repo example is ego 107 vs ego 3980 — 1034 vs 52 friends).
+  *  - `spark.sql.shuffle.partitions` sized to the local core count; on a
+  *    real cluster this is overridden and AQE right-sizes post-shuffle
+  *    partitions anyway.
+  *  - `nanosAsLong` set once at build time (events.ts is TIMESTAMP(NANOS),
+  *    which Spark cannot read natively — see [[Tables]]).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -99,8 +99,10 @@ object RelationalSuite {
         sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_anti")
           .agg(count(lit(1)).as("c"))
       },
-      Some("SELECT count(*) AS c FROM supplier " +
-        "WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)")),
+      // NOT EXISTS, not NOT IN: left_anti keeps supplier rows even when the
+      // probe side contains NULLs, NOT IN would return zero rows.
+      Some("SELECT count(*) AS c FROM supplier s WHERE NOT EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey)")),
 
     QuerySpec("q09_range_join",
       (s, d) => {
@@ -150,16 +152,22 @@ object RelationalSuite {
         "ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST")),
 
     QuerySpec("q13_collect_maxby",
+      // max_by over a struct key: (c_acctbal, c_custkey) is a total order, so
+      // ties on acctbal alone can never make the result nondeterministic.
+      // DuckDB 1.0 max_by rejects struct keys, so the oracle uses a
+      // row_number() tiebreak with identical semantics.
       (s, d) => t(s, d, "customer")
         .groupBy("c_nationkey")
         .agg(
           array_join(array_sort(collect_list(col("c_mktsegment"))), ",").as("segs"),
-          max_by(col("c_name"), col("c_acctbal")).as("richest"))
+          max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"))
         .orderBy("c_nationkey"),
-      Some("SELECT c_nationkey, " +
-        "string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs, " +
-        "max_by(c_name, c_acctbal) AS richest " +
-        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
+      Some("SELECT g.c_nationkey AS c_nationkey, g.segs AS segs, r.c_name AS richest " +
+        "FROM (SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs " +
+        "FROM customer GROUP BY c_nationkey) g " +
+        "JOIN (SELECT c_nationkey, c_name, row_number() OVER (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal DESC, c_custkey DESC) AS rn FROM customer) r " +
+        "ON g.c_nationkey = r.c_nationkey AND r.rn = 1 ORDER BY c_nationkey")),
 
     // ---- window functions ----------------------------------------------
     QuerySpec("q14_window_rank",
@@ -195,20 +203,26 @@ object RelationalSuite {
         "FROM orders ORDER BY o_custkey, o_orderkey")),
 
     QuerySpec("q16_window_frame",
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (11,785 dup
+      // pairs at sf0.01), so a ROWS frame straight over lineitem is
+      // nondeterministic. Pre-aggregate to the unique grain first: the frame
+      // then has a total order in both engines by construction.
       (s, d) => {
         val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
           .rowsBetween(-2, Window.currentRow)
         t(s, d, "lineitem")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
           .select(col("l_orderkey"), col("l_linenumber"),
-            sum(col("l_quantity").cast("decimal(18,2)")).over(w)
-              .cast("double").as("rsum"))
+            sum(col("q")).over(w).cast("double").as("rsum"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("SELECT l_orderkey, l_linenumber, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER " +
-        "(PARTITION BY l_orderkey ORDER BY l_linenumber " +
+        "CAST(sum(q) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber " +
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+        "FROM (SELECT l_orderkey, l_linenumber, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS q FROM lineitem GROUP BY 1, 2) " +
+        "ORDER BY l_orderkey, l_linenumber")),
 
     // ---- sort / limit / set ops ----------------------------------------
     QuerySpec("q17_topk",
@@ -259,19 +273,26 @@ object RelationalSuite {
         .agg(count(lit(1)).as("c"),
           sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sk"))
         .orderBy("d"),
+      // DuckDB sum(BIGINT) widens to HUGEINT; cast back so the driver's
+      // typed value-hash sees BIGINT on both sides.
       Some("SELECT CAST(ts AS DATE) AS d, count(*) AS c, " +
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sk " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk " +
         "FROM events WHERE event_type = 'click' GROUP BY d ORDER BY d")),
 
     QuerySpec("q23_asof_maxby",
+      // struct(ts, event_id) makes the as-of pick total even when two events
+      // share a µs-truncated timestamp (Spark reads ts at µs, DuckDB at ns —
+      // a ns-distinct/µs-equal pair would otherwise tie only on one side).
       (s, d) => t(s, d, "events")
         .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
         .groupBy("user_id")
-        .agg(max_by(col("event_type"), col("ts")).as("last_type"))
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
         .orderBy("user_id"),
-      Some("SELECT user_id, max_by(event_type, ts) AS last_type " +
-        "FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00' " +
-        "GROUP BY user_id ORDER BY user_id")),
+      Some("SELECT user_id, event_type AS last_type FROM (" +
+        "SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+        "FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00') " +
+        "WHERE rn = 1 ORDER BY user_id")),
 
     // ---- array higher-order functions ----------------------------------
     QuerySpec("q24_array_hof",
@@ -311,9 +332,10 @@ object RelationalSuite {
               lit(0.0), (acc, x) => acc + x), 6).as("dot"))
           .orderBy(col("dot").desc, col("vec_id")).limit(10)
       },
+      // list_zip yields UNNAMED structs in DuckDB 1.0 — index numerically.
       Some("SELECT b.vec_id AS vec_id, round(list_sum(list_transform(" +
         "list_zip(a.embedding, b.embedding), " +
-        "x -> CAST(x['list_1'] AS DOUBLE) * CAST(x['list_2'] AS DOUBLE))), 6) AS dot " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0 " +
         "ORDER BY dot DESC, vec_id LIMIT 10")),
 
