@@ -1,0 +1,103 @@
+package graft.snap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The assembled ego networks — all ten at once, keyed by `ego`.
+  *
+  * Model (reference: `/root/reference/src/main.js:176-296`):
+  *  - `edges`: canonical unordered friend-friend pairs (`src < dst`),
+  *    deduped. The reference achieves the same store-once semantics with a
+  *    per-line Cypher existence probe (`main.js:224-239`); here it is one
+  *    `dropDuplicates` shuffle.
+  *  - `friends`: every node id appearing in `.edges`, with `first_seen` =
+  *    position of first appearance (the JS insertion order of the
+  *    `friends` map, `main.js:246-263`) for deterministic output ordering.
+  *  - `vertices`: friends ∪ ego center, each with the last-wins decoded
+  *    property bag (`main.js:185-197`) and circle overlay
+  *    (`main.js:271-296` — circle names become `"yes"`-valued properties,
+  *    and are also kept as an `circles` array column).
+  *
+  * Ego-spoke edges (ego ↔ each friend) are implicit in the data and
+  * materialized in the reference DB (`main.js:254,261`); here they are
+  * derived at query time (see [[GraphAnalytics.adjacencyPlus]]).
+  */
+final case class EgoGraphs(
+    edges: DataFrame, // (ego, src, dst) canonical, deduped
+    friends: DataFrame, // (ego, name, first_seen)
+    vertices: DataFrame // (ego, name, is_ego, properties, circles)
+)
+
+object EgoGraphs {
+
+  /** Bit-vector decode with last-wins collision: for each set bit, look up
+    * the feature, split (key, value) — later same-key features overwrite
+    * earlier ones (plain JS object assignment at `main.js:193`), hence
+    * `max_by(value, idx)`. Returns (ego, node, properties). */
+  def decode(feats: DataFrame, featnames: DataFrame): DataFrame =
+    feats
+      .select(col("ego"), col("node"), posexplode(col("bits")).as(Seq("pos", "bit")))
+      .filter(col("bit") === "1")
+      .join(broadcast(featnames.withColumnRenamed("ego", "fego")),
+        col("ego") === col("fego") && col("pos") === col("idx"))
+      .groupBy("ego", "node", "key")
+      .agg(max_by(col("value"), col("idx")).as("value"))
+      .groupBy("ego", "node")
+      .agg(map_from_entries(collect_list(struct(col("key"), col("value"))))
+        .as("properties"))
+
+  def load(spark: SparkSession, dataDir: String): EgoGraphs = {
+    val raw = SnapSource.edges(spark, dataDir)
+
+    val edges = raw
+      .select(col("ego"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .dropDuplicates("ego", "src", "dst")
+      .cache()
+
+    // First-appearance order scanning tokens left-to-right per line, src
+    // before dst — the JS friends-map insertion order (main.js:246-263).
+    val friends = raw
+      .select(col("ego"), explode(array(
+        struct((col("line_no") * 2).as("seq"), col("src").as("name")),
+        struct((col("line_no") * 2 + 1).as("seq"), col("dst").as("name")))).as("e"))
+      .groupBy(col("ego"), col("e.name").as("name"))
+      .agg(min("e.seq").as("first_seen"))
+      .cache()
+
+    val fn = SnapSource.featnames(spark, dataDir)
+    // Only .edges endpoints materialize as vertices; .feat is a superset.
+    val friendFeats = SnapSource.feat(spark, dataDir)
+      .join(friends.select(col("ego"), col("name").as("node")), Seq("ego", "node"), "left_semi")
+    val props = decode(friendFeats.unionByName(SnapSource.egofeat(spark, dataDir)), fn)
+
+    // Circle overlay: members not in the friend set are dropped
+    // (main.js:292); each membership adds a "circleN" -> "yes" property
+    // (main.js:271-281) and an entry in the circles array.
+    val memberCircles = SnapSource.circles(spark, dataDir)
+      .join(friends.select(col("ego"), col("name").as("member")), Seq("ego", "member"), "left_semi")
+      .groupBy(col("ego"), col("member").as("node"))
+      .agg(
+        array_sort(collect_list(col("circle"))).as("circles"),
+        map_from_entries(collect_list(struct(col("circle"), lit("yes")))).as("circle_props"))
+
+    val names = friends.select(col("ego"), col("name"), lit(false).as("is_ego"))
+      .unionByName(
+        friends.select(col("ego")).distinct()
+          .select(col("ego"), col("ego").as("name"), lit(true).as("is_ego")))
+
+    val emptyMap = map_from_entries(expr("array()").cast("array<struct<key:string,value:string>>"))
+    val vertices = names
+      .join(props.withColumnRenamed("node", "name"), Seq("ego", "name"), "left_outer")
+      .join(memberCircles.withColumnRenamed("node", "name"), Seq("ego", "name"), "left_outer")
+      .select(col("ego"), col("name"), col("is_ego"),
+        map_concat(
+          coalesce(col("properties"), emptyMap),
+          coalesce(col("circle_props"), emptyMap)).as("properties"),
+        coalesce(col("circles"), expr("array()").cast("array<string>")).as("circles"))
+      .cache()
+
+    EgoGraphs(edges, friends, vertices)
+  }
+}

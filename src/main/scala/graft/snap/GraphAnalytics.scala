@@ -1,0 +1,134 @@
+package graft.snap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's four analytics + hypothesis proof, re-expressed as
+  * single set-oriented Spark jobs. Formulas are the golden-verified
+  * contract from SURVEY.md §2.3 (each validated bit-exact against
+  * `/root/reference/output/{0,107}.*`).
+  *
+  * The reference issues ONE Cypher round trip per friend for clustering
+  * (`/root/reference/src/main.js:90-104` — 1034 HTTP calls for ego 107)
+  * and one per edge line for dedup; every operator here is one shuffle-
+  * bounded DataFrame job over all ten ego networks at once.
+  */
+object GraphAnalytics {
+
+  /** Symmetric closure of the friend-friend edge set: (ego, v, u). */
+  def adjacency(edges: DataFrame): DataFrame =
+    edges.select(col("ego"), col("src").as("v"), col("dst").as("u"))
+      .unionByName(edges.select(col("ego"), col("dst").as("v"), col("src").as("u")))
+
+  /** Adjacency of G⁺ = friend edges + ego spokes, both directions.
+    * Spokes exist in the reference DB (`main.js:254,261`) but not in
+    * `.edges`; they are derived here. */
+  def adjacencyPlus(edges: DataFrame, friends: DataFrame): DataFrame = {
+    val spokes = friends.select(col("ego"), col("ego").as("v"), col("name").as("u"))
+    adjacency(edges)
+      .unionByName(spokes)
+      .unionByName(spokes.select(col("ego"), col("u").as("v"), col("v").as("u")))
+  }
+
+  /** (ego, name, deg) — degree within the friend-friend edge set. */
+  def degrees(edges: DataFrame): DataFrame =
+    adjacency(edges).groupBy(col("ego"), col("v").as("name"))
+      .agg(count(lit(1)).as("deg"))
+
+  /** (ego, name, eff): E_ff(v) = friend-friend edges with BOTH endpoints
+    * adjacent to v — the numerator core of the clustering coefficient
+    * (`main.js:87-105`). One edge ⋈ adjacency ⋈ adjacency self-join,
+    * shuffling on (ego, node id) only. */
+  def friendFriendWedges(edges: DataFrame): DataFrame = {
+    val adj = adjacency(edges)
+    edges.as("e")
+      .join(adj.as("x"), col("e.ego") === col("x.ego") && col("x.u") === col("e.src"))
+      .join(adj.as("y"),
+        col("e.ego") === col("y.ego") && col("y.u") === col("e.dst")
+          && col("y.v") === col("x.v"))
+      .groupBy(col("e.ego").as("ego"), col("x.v").as("name"))
+      .agg(count(lit(1)).as("eff"))
+  }
+
+  /** (ego, name, deg, eff, cc): local clustering coefficient of v in G⁺,
+    * ego-inclusive (SURVEY §2.3(3), verified 333/333 + 1034/1034 golden):
+    * CC(v) = (E_ff(v) + deg(v)) / C(deg(v)+1, 2). The +deg(v) term is the
+    * ego-spoke edges among v's neighbours; the +1 is the ego itself. */
+  def clustering(edges: DataFrame): DataFrame =
+    degrees(edges)
+      .join(friendFriendWedges(edges), Seq("ego", "name"), "left_outer")
+      .select(col("ego"), col("name"), col("deg"),
+        coalesce(col("eff"), lit(0L)).as("eff"))
+      .withColumn("cc",
+        (col("eff") + col("deg")).cast("double") /
+          ((col("deg") + 1) * col("deg") / lit(2.0)))
+
+  /** (ego, name, centrality): the reference's stress-centrality query
+    * (`main.js:108-125`) on an ego network collapses to the closed form
+    * (SURVEY §2.3(4)): every s↔d shortest path of length 2 runs through a
+    * common neighbour, so
+    * centrality(x) = 2 · |{unordered {s,d} ⊆ N(x) in E : {s,d} ∉ E}|
+    *               = 2 · (C(deg(x), 2) − E_ff(x)).
+    * The reference never completed this query ("takes a long time to
+    * execute!", docs p.2); this is O(wedges) with no path enumeration. */
+  def centralityClosedForm(edges: DataFrame): DataFrame =
+    clustering(edges)
+      .select(col("ego"), col("name"),
+        (lit(2L) * (col("deg") * (col("deg") - 1) / 2 - col("eff")))
+          .cast("bigint").as("centrality"))
+
+  /** (ego, node_count, edge_count): |F|+1 nodes (`main.js:65-73`) and
+    * |E|+|F| stored-once edges — deduped friend pairs + ego spokes
+    * (`main.js:76-84`; verified 334/2852 and 1035/27783). */
+  def counts(g: EgoGraphs): DataFrame = {
+    val f = g.friends.groupBy("ego").agg(count(lit(1)).as("n_friends"))
+    val e = g.edges.groupBy("ego").agg(count(lit(1)).as("n_edges"))
+    f.join(e, Seq("ego"))
+      .select(col("ego"),
+        (col("n_friends") + 1).as("node_count"),
+        (col("n_edges") + col("n_friends")).as("edge_count"))
+  }
+
+  /** Vertices holding BOTH hypothesis keys, with their (single-valued,
+    * last-wins) hometown and school: (ego, name, hometown, school). */
+  def hypothesisSet(vertices: DataFrame): DataFrame =
+    vertices
+      .select(col("ego"), col("name"),
+        col("properties")("hometown;id").as("hometown"),
+        col("properties")("education;school;id").as("school"))
+      .filter(col("hometown").isNotNull && col("school").isNotNull)
+
+  /** (ego, denom, num) for the hypothesis proof (`main.js:29-51`):
+    *  - denom: ORDERED pairs INCLUDING the diagonal with equal
+    *    (hometown, school) — computed as Σ groupsize² per key pair, one
+    *    linear shuffle instead of the reference's self-join blowup.
+    *  - num: same pairs, m ≠ n, adjacent in G⁺ (undirected ⇒ both orders
+    *    counted) — a join of the symmetric G⁺ adjacency against the
+    *    hypothesis set on both endpoints.
+    * Verified: 153/64 (ego 0), 8378/2920 (ego 107). */
+  def proofCounts(g: EgoGraphs): DataFrame = {
+    val s = hypothesisSet(g.vertices).cache()
+
+    val denom = s.groupBy("ego", "hometown", "school")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("ego").agg(sum(col("c") * col("c")).as("denom"))
+
+    val adjP = adjacencyPlus(g.edges, g.friends)
+    val num = adjP
+      .join(s.select(col("ego"), col("name").as("v"),
+        col("hometown").as("h1"), col("school").as("s1")), Seq("ego", "v"))
+      .join(s.select(col("ego"), col("name").as("u"),
+        col("hometown").as("h2"), col("school").as("s2")), Seq("ego", "u"))
+      .filter(col("h1") === col("h2") && col("s1") === col("s2"))
+      .groupBy("ego").agg(count(lit(1)).as("num"))
+
+    // Every ego gets a row even when no vertex holds both keys (ego 3980):
+    // the reference would emit 0/0 there (percentage NaN, "disproved").
+    g.friends.select("ego").distinct()
+      .join(denom, Seq("ego"), "left_outer")
+      .join(num, Seq("ego"), "left_outer")
+      .select(col("ego"),
+        coalesce(col("denom"), lit(0L)).as("denom"),
+        coalesce(col("num"), lit(0L)).as("num"))
+  }
+}

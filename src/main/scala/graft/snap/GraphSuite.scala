@@ -1,0 +1,175 @@
+package graft.snap
+
+import graft.QuerySpec
+import org.apache.spark.sql.functions._
+
+/** The reference's own analytics (SURVEY §2.1 O1-O17) exposed as
+  * oracle-checked QuerySpecs over all ten ego networks at once.
+  *
+  * Unusually, these have FULL DuckDB oracles: the SQL re-reads the SNAP
+  * text files with `read_csv` and re-derives the same semantics (canonical
+  * edge dedup, last-wins bit decode, ego-inclusive clustering, ordered
+  * pair counting) independently of the Spark implementation. Every formula
+  * below was validated against the committed reference outputs
+  * (`/root/reference/output/{0,107}.*`): node/edge counts 334/2852 and
+  * 1035/27783, all 1367 clustering values, proof counts 153/64 and
+  * 8378/2920.
+  */
+object GraphSuite {
+
+  /** SNAP data ships inside the read-only reference checkout. */
+  val dataDir = "/root/reference/data"
+
+  // Shared DuckDB CTE fragments ------------------------------------------
+
+  private val duckEdges =
+    "e0 AS (SELECT regexp_extract(filename, '([0-9]+)\\.edges', 1) AS ego, a, b " +
+      s"FROM read_csv('$dataDir/*.edges', delim=' ', header=false, " +
+      "columns={'a':'VARCHAR','b':'VARCHAR'}, filename=true)), " +
+      "f AS (SELECT DISTINCT ego, a AS name FROM e0 UNION SELECT DISTINCT ego, b AS name FROM e0)"
+
+  private val duckCanonical =
+    "e AS (SELECT DISTINCT ego, least(a,b) AS s, greatest(a,b) AS d FROM e0), " +
+      "adj AS (SELECT ego, s AS v, d AS u FROM e UNION ALL SELECT ego, d AS v, s AS u FROM e), " +
+      "deg AS (SELECT ego, v AS name, count(*) AS deg FROM adj GROUP BY 1,2), " +
+      "eff AS (SELECT x.ego AS ego, x.v AS name, count(*) AS eff " +
+      "FROM e JOIN adj x ON x.ego = e.ego AND x.u = e.s " +
+      "JOIN adj y ON y.ego = e.ego AND y.u = e.d AND y.v = x.v GROUP BY 1,2)"
+
+  /** Featnames + feat + egofeat decode down to the two hypothesis keys —
+    * independently re-implements SURVEY §1.3 last-wins semantics. */
+  private val duckDecode =
+    "fnl AS (SELECT regexp_extract(filename, '([0-9]+)\\.featnames', 1) AS ego, line " +
+      s"FROM read_csv('$dataDir/*.featnames', delim='|', header=false, " +
+      "columns={'line':'VARCHAR'}, filename=true) WHERE strpos(line, ' ') > 0), " +
+      "fn AS (SELECT ego, CAST(substr(line, 1, strpos(line, ' ') - 1) AS INT) AS idx, " +
+      "substr(line, strpos(line, ' ') + 1) AS rest FROM fnl), " +
+      "fn2 AS (SELECT ego, idx, " +
+      "substr(rest, 1, length(rest) - length(string_split(rest, ';')[-1]) - 1) AS key, " +
+      "string_split(rest, ';')[-1] AS value FROM fn), " +
+      "il AS (SELECT regexp_extract(filename, '([0-9]+)\\.feat', 1) AS ego, " +
+      "string_split(line, ' ') AS parts " +
+      s"FROM read_csv('$dataDir/*.feat', delim='|', header=false, " +
+      "columns={'line':'VARCHAR'}, filename=true) WHERE strpos(line, ' ') > 0), " +
+      "ib AS (SELECT ego, parts, parts[1] AS node, " +
+      "unnest(generate_series(2, len(parts))) AS i FROM il), " +
+      "bits AS (SELECT ego, node, i - 2 AS idx FROM ib WHERE parts[i] = '1'), " +
+      "el AS (SELECT regexp_extract(filename, '([0-9]+)\\.egofeat', 1) AS ego, " +
+      "string_split(line, ' ') AS parts " +
+      s"FROM read_csv('$dataDir/*.egofeat', delim='|', header=false, " +
+      "columns={'line':'VARCHAR'}, filename=true)), " +
+      "eb AS (SELECT ego, parts, unnest(generate_series(1, len(parts))) AS i FROM el), " +
+      "ebits AS (SELECT ego, ego AS node, i - 1 AS idx FROM eb WHERE parts[i] = '1'), " +
+      "allbits AS (SELECT b.ego, b.node, b.idx FROM bits b " +
+      "JOIN f ON b.ego = f.ego AND b.node = f.name UNION ALL SELECT * FROM ebits), " +
+      "dec AS (SELECT b.ego, b.node, n.key, arg_max(n.value, n.idx) AS value " +
+      "FROM allbits b JOIN fn2 n ON b.ego = n.ego AND b.idx = n.idx GROUP BY 1,2,3), " +
+      "hv AS (SELECT ego, node, " +
+      "max(CASE WHEN key = 'hometown;id' THEN value END) AS hometown, " +
+      "max(CASE WHEN key = 'education;school;id' THEN value END) AS school " +
+      "FROM dec GROUP BY 1,2)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // O1/O2/O6/O10/O11: scans + canonical edge dedup + node/edge counts.
+    QuerySpec("g01_graph_counts",
+      (s, _) => GraphAnalytics.counts(EgoGraphs.load(s, dataDir)).orderBy("ego"),
+      Some(s"WITH $duckEdges, " +
+        "fc AS (SELECT ego, count(*) AS n_friends FROM f GROUP BY ego), " +
+        "ec AS (SELECT ego, count(*) AS n_edges FROM " +
+        "(SELECT DISTINCT ego, least(a,b), greatest(a,b) FROM e0) GROUP BY ego) " +
+        "SELECT fc.ego AS ego, fc.n_friends + 1 AS node_count, " +
+        "ec.n_edges + fc.n_friends AS edge_count " +
+        "FROM fc JOIN ec ON fc.ego = ec.ego ORDER BY ego")),
+
+    // O3/O4/O12/O13/O14/O15: decode + property filter + hypothesis proof.
+    QuerySpec("g02_proof_counts",
+      (s, _) => GraphAnalytics.proofCounts(EgoGraphs.load(s, dataDir)).orderBy("ego"),
+      Some(s"WITH $duckEdges, $duckDecode, " +
+        "s AS (SELECT * FROM hv WHERE hometown IS NOT NULL AND school IS NOT NULL), " +
+        "denom AS (SELECT ego, CAST(sum(c * c) AS BIGINT) AS denom FROM " +
+        "(SELECT ego, hometown, school, count(*) AS c FROM s GROUP BY 1,2,3) GROUP BY ego), " +
+        "adjp AS (SELECT ego, a AS u, b AS v FROM e0 UNION SELECT ego, b AS u, a AS v FROM e0 " +
+        "UNION SELECT ego, ego AS u, name AS v FROM f " +
+        "UNION SELECT ego, name AS u, ego AS v FROM f), " +
+        "num AS (SELECT adjp.ego, count(*) AS num FROM adjp " +
+        "JOIN s m ON m.ego = adjp.ego AND m.node = adjp.u " +
+        "JOIN s n ON n.ego = adjp.ego AND n.node = adjp.v " +
+        "WHERE m.hometown = n.hometown AND m.school = n.school GROUP BY 1), " +
+        "egos AS (SELECT DISTINCT ego FROM e0) " +
+        "SELECT egos.ego AS ego, coalesce(denom.denom, 0) AS denom, " +
+        "coalesce(num.num, 0) AS num FROM egos " +
+        "LEFT JOIN denom ON egos.ego = denom.ego " +
+        "LEFT JOIN num ON egos.ego = num.ego ORDER BY ego")),
+
+    // O16/O17: ego-inclusive local clustering coefficient, closed form.
+    QuerySpec("g03_clustering",
+      (s, _) => GraphAnalytics.clustering(EgoGraphs.load(s, dataDir).edges)
+        .select("ego", "name", "cc").orderBy("ego", "name"),
+      Some(s"WITH $duckEdges, $duckCanonical " +
+        "SELECT deg.ego AS ego, deg.name AS name, " +
+        "CAST(coalesce(eff.eff, 0) + deg.deg AS DOUBLE) / ((deg.deg + 1) * deg.deg / 2.0) AS cc " +
+        "FROM deg LEFT JOIN eff ON deg.ego = eff.ego AND deg.name = eff.name " +
+        "ORDER BY ego, name")),
+
+    // O18/O19: stress centrality via the diameter-2 closed form — the
+    // query the reference could never finish (docs p.2: "takes a long
+    // time to execute!").
+    QuerySpec("g04_centrality",
+      (s, _) => GraphAnalytics.centralityClosedForm(EgoGraphs.load(s, dataDir).edges)
+        .orderBy("ego", "name"),
+      Some(s"WITH $duckEdges, $duckCanonical " +
+        "SELECT deg.ego AS ego, deg.name AS name, " +
+        "CAST(2 * (deg.deg * (deg.deg - 1) / 2 - coalesce(eff.eff, 0)) AS BIGINT) AS centrality " +
+        "FROM deg LEFT JOIN eff ON deg.ego = eff.ego AND deg.name = eff.name " +
+        "ORDER BY ego, name")),
+
+    // O8: circle overlay — membership filtered to materialized friends.
+    QuerySpec("g05_circle_sizes",
+      (s, _) => {
+        val g = EgoGraphs.load(s, dataDir)
+        SnapSource.circles(s, dataDir)
+          .join(g.friends.select(col("ego"), col("name").as("member")),
+            Seq("ego", "member"), "left_semi")
+          .groupBy("ego", "circle").agg(count(lit(1)).as("members"))
+          .orderBy("ego", "circle")
+      },
+      Some(s"WITH $duckEdges, " +
+        "cl AS (SELECT regexp_extract(filename, '([0-9]+)\\.circles', 1) AS ego, " +
+        "string_split(line, chr(9)) AS parts " +
+        s"FROM read_csv('$dataDir/*.circles', delim='|', header=false, " +
+        "columns={'line':'VARCHAR'}, filename=true) WHERE strpos(line, chr(9)) > 0), " +
+        "cm AS (SELECT ego, parts, parts[1] AS circle, " +
+        "unnest(generate_series(2, len(parts))) AS i FROM cl), " +
+        "m AS (SELECT ego, circle, parts[i] AS member FROM cm WHERE parts[i] <> '') " +
+        "SELECT m.ego AS ego, m.circle AS circle, count(*) AS members FROM m " +
+        "JOIN f ON m.ego = f.ego AND m.member = f.name " +
+        "GROUP BY 1, 2 ORDER BY ego, circle")),
+
+    // Map-typed property bag: map_contains_key / element_at over the
+    // decoded MAP<STRING,STRING> column (operator row 34).
+    QuerySpec("g06_property_stats",
+      (s, _) => {
+        val v = EgoGraphs.load(s, dataDir).vertices
+        v.groupBy("ego").agg(
+          sum(when(map_contains_key(col("properties"), "hometown;id"), 1L)
+            .otherwise(0L)).as("n_hometown"),
+          sum(when(map_contains_key(col("properties"), "education;school;id"), 1L)
+            .otherwise(0L)).as("n_school"),
+          sum(when(element_at(col("properties"), "hometown;id").isNotNull
+            && element_at(col("properties"), "education;school;id").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+          .orderBy("ego")
+      },
+      Some(s"WITH $duckEdges, $duckDecode, " +
+        "egos AS (SELECT DISTINCT ego FROM e0), " +
+        "stats AS (SELECT ego, " +
+        "CAST(count(hometown) AS BIGINT) AS n_hometown, " +
+        "CAST(count(school) AS BIGINT) AS n_school, " +
+        "CAST(sum(CASE WHEN hometown IS NOT NULL AND school IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both " +
+        "FROM hv GROUP BY ego) " +
+        "SELECT egos.ego AS ego, coalesce(n_hometown, 0) AS n_hometown, " +
+        "coalesce(n_school, 0) AS n_school, coalesce(n_both, 0) AS n_both " +
+        "FROM egos LEFT JOIN stats ON egos.ego = stats.ego ORDER BY ego"))
+  )
+}
