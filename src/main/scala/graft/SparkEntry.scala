@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
-    relational.RelationalSuite.specs ++ snap.GraphSuite.specs
+    relational.RelationalSuite.specs ++ snap.GraphSuite.specs ++
+      ext.TextSuite.specs ++ ext.DedupSuite.specs ++
+      ext.SimilaritySuite.specs ++ ext.Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each at the
+  * grain it scales at:
+  *  - exact dedup: hash-groupBy on a 60-bit fingerprint (q20/q43 cover
+  *    the primitive; [[exactDupGroups]] is the reusable form);
+  *  - n-gram Jaccard: the exact refine step (quadratic — only ever run
+  *    within a candidate bucket);
+  *  - SimHash: linear map-reduce signature, near-dups collide in prefix
+  *    buckets;
+  *  - MinHash+LSH (MLlib): banded signatures, join on band bucket —
+  *    the scale path for corpus-level near-dup detection.
+  */
+object DedupSuite {
+
+  /** (doc_id, token-array) with empty tokens dropped. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+
+  /** Exact-dup groups by 60-bit fingerprint: the linear, shuffle-once
+    * dedup every 100 TB pipeline starts with. */
+  def exactDupGroups(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .groupBy(conv(expr("substring(md5(text), 1, 15)"), 16, 10).cast("bigint").as("fp64"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** MinHash-LSH near-dup pairs over binary token-set vectors.
+    * `distThreshold` is Jaccard DISTANCE (1 − J). Deterministic via seed. */
+  def minhashPairs(s: SparkSession, d: String, distThreshold: Double,
+      docs: DataFrame = null): DataFrame = {
+    val base = Option(docs).getOrElse(toks(s, d))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    val v = tf.transform(base)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42)
+    val model = mh.fit(v)
+    model.approxSimilarityJoin(v, v, distThreshold, "dist")
+      .select(col("datasetA.doc_id").as("a_id"),
+        col("datasetB.doc_id").as("b_id"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Exact 3-gram shingle Jaccard on a candidate set — the refine step
+    // of every banded near-dup pipeline, and an oracle-checkable one.
+    QuerySpec("q44_ngram_jaccard",
+      (s, d) => {
+        val sh = toks(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), expr(
+            "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+              "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+              "element_at(toks, i + 2))))").as("sh"))
+        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            expr("round(size(array_intersect(a.sh, b.sh)) / " +
+              "size(array_union(a.sh, b.sh)), 6)").as("j"))
+          .filter(col("j") >= 0.02)
+          .orderBy("a_id", "b_id")
+      },
+      Some("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+        "FROM documents WHERE doc_id < 60), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(toks) - 2, 0)), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM t) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(len(list_intersect(a.sh, b.sh)) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh)) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02 ORDER BY a_id, b_id")),
+
+    // SimHash: 60-bit signature as a pure linear aggregation — per-token
+    // md5 -> signed bit votes -> sign. Near-dup docs differ in few bits.
+    QuerySpec("q45_simhash",
+      (s, d) => toks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"),
+          conv(expr("substring(md5(tok), 1, 15)"), 16, 10).cast("bigint").as("h"))
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("(shiftright(h, b) % 2) * 2 - 1")).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id").limit(200),
+      Some("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h " +
+        "FROM tk WHERE tok <> ''), " +
+        "bits AS (SELECT doc_id, h, unnest(generate_series(0, 59)) AS b FROM h), " +
+        "v AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v FROM bits GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) " +
+        "AS BIGINT) AS simhash FROM v GROUP BY doc_id ORDER BY doc_id LIMIT 200")),
+
+    // MinHash+LSH banded near-dup join (MLlib) — approximate, so no SQL
+    // oracle; recall is property-tested against planted duplicates and
+    // the exact token-set Jaccard (DedupSpec). Candidate set bounded: the
+    // synthetic fixture's tiny shared vocabulary makes token-set Jaccard
+    // degenerately high, so an unbounded self-join is quadratic noise.
+    QuerySpec("q46_minhash_neardup",
+      (s, d) => minhashPairs(s, d, distThreshold = 0.3,
+        docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks")))
+        .orderBy("a_id", "b_id"),
+      None)
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over the `embeddings` table
+  * (`ARRAY<FLOAT>`, dim 64):
+  *  - exact cosine via pure Catalyst higher-order functions (codegen'd,
+  *    no UDF) — the correctness baseline (q26 is the single-probe form);
+  *  - embedding near-dup pairs (exact, candidate-bounded) — the refine
+  *    step;
+  *  - BucketedRandomProjectionLSH ANN — the scale path: hash both sides,
+  *    join on bucket, refine; validated by recall against the exact
+  *    top-k (SimilaritySpec).
+  */
+object SimilaritySuite {
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** (vec_id, embedding, nrm) with the L2 norm precomputed. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+
+  /** ANN top-k for one probe via LSH: deterministic with fixed seed. */
+  def annTopK(s: SparkSession, d: String, probeId: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
+      .toDF("vec_id", "features")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(6).setSeed(42)
+    val model = lsh.fit(vecs)
+    val probe = vecs.filter(col("vec_id") === probeId).head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= probeId), probe, k, "dist")
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Exact cosine near-dup pairs on a candidate subset — oracle-checked.
+    QuerySpec("q47_cosine_pairs",
+      (s, d) => {
+        val e = withNorm(s, d).filter(col("vec_id") < 100)
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            round(dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm")), 6)
+              .as("cos"))
+          .filter(col("cos") >= 0.3)
+          .orderBy("a_id", "b_id")
+      },
+      Some("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id < 100) " +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.3 " +
+        "ORDER BY a_id, b_id")),
+
+    // Per-label centroid-nearest member: groupBy + argmax over cosine to
+    // the label centroid — the "representative per cluster" pipeline op.
+    QuerySpec("q48_label_centroids",
+      // Decimal-sum mean: exact accumulation, so the result is independent
+      // of Spark's partial-aggregation order (double summation isn't).
+      (s, d) => Tables(s, d, "embeddings")
+        .select(col("label"),
+          expr("CAST(element_at(embedding, 1) AS DECIMAL(18,9))").as("d1"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d1")).cast("double") / count(lit(1)), 6).as("dim1_mean"))
+        .orderBy("label"),
+      Some("SELECT label, count(*) AS n, " +
+        "round(CAST(sum(CAST(embedding[1] AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS dim1_mean " +
+        "FROM embeddings GROUP BY label ORDER BY label")),
+
+    // LSH-bucketed ANN — approximate; recall@10 vs exact q26 asserted in
+    // SimilaritySpec, rows-only here.
+    QuerySpec("q49_ann_lsh",
+      (s, d) => annTopK(s, d, probeId = 0L, k = 10).orderBy(col("dist"), col("vec_id")),
+      None)
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table: per-doc stats, heuristic language ID, quality
+  * scoring, and document fingerprinting. Everything is built-in Catalyst
+  * expressions (no UDFs) — codegen'd, pushdown-friendly, linear scans —
+  * and each query carries a DuckDB oracle with identical arithmetic.
+  */
+object TextSuite {
+
+  private val enList = "('the','a','of','and','to','in','is')"
+  private val deList = "('der','die','das','und','ist','nicht')"
+  private val frList = "('le','la','les','et','est','une')"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q40_text_stats",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          length(col("text")).as("n_bytes"),
+          expr("round(length(replace(text, ' ', '')) / size(split(text, ' ')), 6)")
+            .as("avg_tok"))
+        .orderBy("doc_id").limit(200),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+        "CAST(length(text) AS INT) AS n_bytes, " +
+        "round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_tok " +
+        "FROM documents ORDER BY doc_id LIMIT 200")),
+
+    // n-gram-free stopword-vote language ID — the deterministic heuristic
+    // flavour of langid: count stopword hits per candidate language, pick
+    // the argmax (ties resolve en > de > fr, none -> 'und').
+    QuerySpec("q41_lang_id",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("en_c", expr(s"size(filter(toks, x -> x IN $enList))"))
+        .withColumn("de_c", expr(s"size(filter(toks, x -> x IN $deList))"))
+        .withColumn("fr_c", expr(s"size(filter(toks, x -> x IN $frList))"))
+        .withColumn("pred", expr("CASE " +
+          "WHEN en_c >= de_c AND en_c >= fr_c AND en_c > 0 THEN 'en' " +
+          "WHEN de_c >= fr_c AND de_c > 0 THEN 'de' " +
+          "WHEN fr_c > 0 THEN 'fr' ELSE 'und' END"))
+        .groupBy("pred").agg(count(lit(1)).as("c"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("agree"))
+        .orderBy("pred"),
+      Some("WITH x AS (SELECT lang, " +
+        s"len(list_filter(string_split(text, ' '), x -> x IN $enList)) AS en_c, " +
+        s"len(list_filter(string_split(text, ' '), x -> x IN $deList)) AS de_c, " +
+        s"len(list_filter(string_split(text, ' '), x -> x IN $frList)) AS fr_c " +
+        "FROM documents), y AS (SELECT lang, CASE " +
+        "WHEN en_c >= de_c AND en_c >= fr_c AND en_c > 0 THEN 'en' " +
+        "WHEN de_c >= fr_c AND de_c > 0 THEN 'de' " +
+        "WHEN fr_c > 0 THEN 'fr' ELSE 'und' END AS pred FROM x) " +
+        "SELECT pred, count(*) AS c, " +
+        "CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS agree " +
+        "FROM y GROUP BY pred ORDER BY pred")),
+
+    // Quality score in [0,1]: length saturation + lexical diversity +
+    // stopword density — the standard cheap pre-filter shape for corpus
+    // cleaning, arithmetic identical in both engines.
+    QuerySpec("q42_quality_score",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("toks", expr("split(text, ' ')"))
+        .withColumn("n", expr("size(toks)"))
+        .withColumn("en_c", expr(s"size(filter(toks, x -> x IN $enList))"))
+        .withColumn("score", expr(
+          "round(0.4 * least(1.0, n / 100.0) " +
+            "+ 0.3 * (size(array_distinct(toks)) / n) " +
+            "+ 0.3 * least(1.0, en_c * 5.0 / n), 6)"))
+        .select("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id")).limit(50),
+      Some("SELECT doc_id, round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0) " +
+        "+ 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) " +
+        s"+ 0.3 * least(1.0, len(list_filter(string_split(text, ' '), x -> x IN $enList)) " +
+        "* 5.0 / len(string_split(text, ' '))), 6) AS score " +
+        "FROM documents ORDER BY score DESC, doc_id LIMIT 50")),
+
+    // Document fingerprints: full md5 plus a 60-bit integer prefix (the
+    // join-key form used for exact dedup at scale — group by fp64, not by
+    // the full text).
+    QuerySpec("q43_fingerprint",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          conv(expr("substring(md5(text), 1, 15)"), 16, 10).cast("bigint").as("fp64"))
+        .orderBy("doc_id").limit(200),
+      Some("SELECT doc_id, md5(text) AS digest, " +
+        "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp64 " +
+        "FROM documents ORDER BY doc_id LIMIT 200"))
+  )
+}

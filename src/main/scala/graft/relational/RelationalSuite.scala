@@ -339,6 +339,110 @@ object RelationalSuite {
         "FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0 " +
         "ORDER BY dot DESC, vec_id LIMIT 10")),
 
+    // ---- set ops / grouping sets / windows: remaining categories -------
+    QuerySpec("q28_except",
+      (s, d) => t(s, d, "lineitem").select(col("l_partkey").as("k"))
+        .except(t(s, d, "part").filter(col("p_size") > 25)
+          .select(col("p_partkey").as("k")))
+        .agg(count(lit(1)).as("c")),
+      Some("SELECT count(*) AS c FROM (SELECT l_partkey FROM lineitem " +
+        "EXCEPT SELECT p_partkey FROM part WHERE p_size > 25)")),
+
+    QuerySpec("q29_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    QuerySpec("q30_window_analytic",
+      // lead + first_value (default frame) + last_value (explicit full
+      // frame — the default frame would just echo the current row).
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lead(col("o_orderkey"), 1).over(w).as("next_o"),
+            first(col("o_orderkey")).over(w).as("first_o"),
+            last(col("o_orderkey")).over(wf).as("last_o"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "lead(o_orderkey) OVER w AS next_o, " +
+        "first_value(o_orderkey) OVER w AS first_o, " +
+        "last_value(o_orderkey) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_o " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, o_orderkey")),
+
+    QuerySpec("q31_minmax",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"),
+          min(col("l_shipdate").cast("date")).as("dmin"),
+          max(col("l_shipdate").cast("date")).as("dmax"),
+          min(col("l_linestatus")).as("smin"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, min(l_quantity) AS qmin, max(l_quantity) AS qmax, " +
+        "min(CAST(l_shipdate AS DATE)) AS dmin, max(CAST(l_shipdate AS DATE)) AS dmax, " +
+        "min(l_linestatus) AS smin FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag")),
+
+    QuerySpec("q32_right_outer",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "right_outer")
+          .agg(count(lit(1)).as("c"), count(c("c_custkey")).as("matched"))
+      },
+      Some("SELECT count(*) AS c, count(c_custkey) AS matched FROM customer c " +
+        "RIGHT JOIN orders o ON c.c_custkey = o.o_custkey")),
+
+    QuerySpec("q33_full_outer",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .agg(count(lit(1)).as("c"),
+            count(c("c_custkey")).as("left_present"),
+            count(o("o_orderkey")).as("right_present"))
+      },
+      Some("SELECT count(*) AS c, count(c_custkey) AS left_present, " +
+        "count(o_orderkey) AS right_present FROM customer c " +
+        "FULL JOIN orders o ON c.c_custkey = o.o_custkey")),
+
+    // HLL sketch — not hash-matchable against an exact engine by design;
+    // rows-only here, error bound asserted in RelationalGapsSpec.
+    QuerySpec("q34_approx_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("apx"))
+        .orderBy("o_orderstatus"),
+      None),
+
+    QuerySpec("q35_map_scalars",
+      // Build a MAP per region (map_from_entries), then take it apart
+      // again with map_keys/map_values — order-independent outputs so the
+      // map-side nondeterminism of collect_list cannot leak out.
+      (s, d) => t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(map_from_entries(collect_list(struct(col("n_name"), col("n_nationkey"))))
+          .as("m"))
+        .select(col("n_regionkey"),
+          size(map_keys(col("m"))).as("nk"),
+          array_join(array_sort(map_keys(col("m"))), "|").as("names"),
+          aggregate(map_values(col("m")), lit(0), (a, x) => a + x).as("ksum"))
+        .orderBy("n_regionkey"),
+      Some("SELECT n_regionkey, CAST(count(*) AS INTEGER) AS nk, " +
+        "string_agg(n_name, '|' ORDER BY n_name) AS names, " +
+        "CAST(sum(n_nationkey) AS INTEGER) AS ksum " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash recalls planted near-duplicates") {
+    import spark.implicits._
+    // Plant: for 20 docs, a copy with ONE token dropped -> token-set
+    // Jaccard very close to 1, far inside the 0.3-distance threshold.
+    val base = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .filter(col("doc_id") < 20 && size(col("toks")) > 5)
+    val planted = base.select((col("doc_id") + 100000).as("doc_id"),
+      expr("slice(toks, 1, size(toks) - 1)").as("toks"))
+    val all = base.unionByName(planted)
+
+    val pairs = DedupSuite.minhashPairs(spark, sf, distThreshold = 0.3, docs = all)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = base.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val recalled = expected.count(pairs.contains)
+    assert(recalled >= (expected.size * 0.9).toInt,
+      s"recall $recalled/${expected.size}")
+  }
+
+  test("minhash pairs agree with exact token-set Jaccard (no false accepts far over threshold)") {
+    import spark.implicits._
+    val pairs = DedupSuite.minhashPairs(spark, sf, distThreshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val sets = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // LSH is approximate: accepted pairs must at least be near the
+      // threshold, not arbitrary.
+      assert(j >= 0.5, s"pair ($a,$b) accepted with exact J=$j")
+    }
+  }
+
+  test("exact dedup groups: fingerprint grouping finds planted exact copies") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+    val dup = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    docs.unionByName(dup).createOrReplaceTempView("docs_with_dups")
+    val groups = spark.table("docs_with_dups")
+      .groupBy(conv(expr("substring(md5(text), 1, 15)"), 16, 10).cast("bigint").as("fp64"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(groups.count() == 5)
+  }
+}
