@@ -13,7 +13,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     relational.RelationalSuite.specs ++ snap.GraphSuite.specs ++
       ext.TextSuite.specs ++ ext.DedupSuite.specs ++
-      ext.SimilaritySuite.specs ++ ext.Multimodal.specs
+      ext.SimilaritySuite.specs ++ ext.Multimodal.specs ++
+      streaming.Streams.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.util.UUID
+
+/** Structured Streaming surface (SURVEY §2.2 S1-S3): the `events` table
+  * replayed through a file source, with results landed in a memory sink
+  * so the same QuerySpec/oracle machinery can gate correctness — each
+  * streaming query's oracle is its BATCH equivalent in DuckDB
+  * (batch-stream equivalence is the correctness contract).
+  *
+  * The replay writes time-ordered parquet chunks to a temp dir; a single
+  * `processAllAvailable` drains them. Late-data/watermark *eviction*
+  * behavior needs multi-batch replay and is covered in StreamingSpec,
+  * where chunks are delivered incrementally.
+  */
+object Streams {
+
+  /** Write `events` (time-ordered) as `chunks` parquet files; optionally
+    * re-append a copy of every chunk (an at-least-once source) so
+    * `dropDuplicatesWithinWatermark` has real duplicates to remove. */
+  def replayDir(s: SparkSession, sfDir: String, chunks: Int,
+      duplicate: Boolean = false): String = {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val ev = Tables(s, sfDir, "events")
+      .withColumn("chunk", ntile(chunks).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    for (i <- 1 to chunks) {
+      val part = ev.filter(col("chunk") === i).drop("chunk")
+      part.coalesce(1).write.mode("append").parquet(dir)
+      if (duplicate) part.coalesce(1).write.mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  /** Run a streaming DataFrame into a memory sink and return the result. */
+  def runToMemory(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  private def streamEvents(s: SparkSession, sfDir: String,
+      duplicate: Boolean = false): DataFrame = {
+    val schema = Tables(s, sfDir, "events").schema
+    // The replay chunks are written post-truncation, so read them plain
+    // (ts is already µs) — the schema matches Tables' output exactly.
+    s.readStream.schema(schema).parquet(replayDir(s, sfDir, chunks = 8, duplicate))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // S1: tumbling 1-hour window + watermark; complete mode ≡ the q25
+    // batch aggregation, so the oracle is q25's SQL verbatim.
+    QuerySpec("s_tumbling_window",
+      (s, d) => {
+        val agg = streamEvents(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        runToMemory(s, agg, "complete")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
+            col("event_type"), col("c"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start, " +
+        "event_type, count(*) AS c FROM events " +
+        "GROUP BY window_start, event_type ORDER BY window_start, event_type")),
+
+    // S2: per-user session windows (10-minute gap); oracle is the
+    // gaps-and-islands batch formulation.
+    QuerySpec("s_session_window",
+      (s, d) => {
+        val agg = streamEvents(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        runToMemory(s, agg, "complete")
+          .select(col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events), " +
+        "m AS (SELECT user_id, ts, sum(CASE WHEN prev IS NULL " +
+        "OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "count(*) AS n_events FROM m GROUP BY user_id, sess " +
+        "ORDER BY user_id, session_start")),
+
+    // S3: stateful dedup over an at-least-once replay (every chunk
+    // delivered twice); dropDuplicatesWithinWatermark restores
+    // exactly-once, so counts equal the batch DISTINCT.
+    QuerySpec("s_dedup_watermark",
+      (s, d) => {
+        val deduped = streamEvents(s, d, duplicate = true)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        runToMemory(s, deduped, "append")
+          .groupBy("event_type").agg(count(lit(1)).as("c"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(DISTINCT event_id) AS c FROM events " +
+        "GROUP BY event_type ORDER BY event_type"))
+  )
+}
