@@ -53,8 +53,12 @@ object StressCentrality {
     * reached, so each entry is written exactly once — no double counting. */
   def allPairs[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
       graph: Graph[VD, ED]): VertexRDD[PathMap] = {
-    var g: Graph[(PathMap, PathMap), ED] = graph.mapVertices((id, _) =>
-      (Map(id -> (0, 1L)): PathMap, Map(id -> (0, 1L)): PathMap)).cache()
+    // 2D edge partitioning bounds vertex replication at sqrt(numParts) —
+    // the right default before iterative GraphX jobs at scale.
+    var g: Graph[(PathMap, PathMap), ED] = graph
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+      .mapVertices((id, _) =>
+        (Map(id -> (0, 1L)): PathMap, Map(id -> (0, 1L)): PathMap)).cache()
     var active = 1L
     while (active > 0) {
       val msgs = g.aggregateMessages[PathMap](
