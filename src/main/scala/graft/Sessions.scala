@@ -22,6 +22,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

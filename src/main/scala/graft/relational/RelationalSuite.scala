@@ -443,6 +443,43 @@ object RelationalSuite {
         "CAST(sum(n_nationkey) AS INTEGER) AS ksum " +
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
 
+    // The scale-safe rewrite of q05's self-join count: |group|² summed per
+    // key is ONE linear shuffle; the join form is quadratic per group on a
+    // skewed low-cardinality key (the canonical 100 TB scale-killer). Same
+    // answer, verified against the same oracle value.
+    QuerySpec("q36_self_join_linear",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("c")),
+      Some("SELECT CAST(sum(n * n) AS BIGINT) AS c FROM " +
+        "(SELECT count(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment)")),
+
+    // Typed Aggregator UDAF (operator row 41): partial+final sum of
+    // squares. l_quantity is integer-valued, so the double accumulation is
+    // exact and order-independent -> oracle-safe.
+    QuerySpec("q37_udaf_sumsq",
+      (s, d) => {
+        val sumSq = udaf(graft.functions.SumSquares)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sumSq(col("l_quantity")).as("sq"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, sum(l_quantity * l_quantity) AS sq " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Native codegen'd Expression registered via SparkSessionExtensions
+    // (fnv1a64) — resolved through plain SQL like a built-in. No DuckDB
+    // FNV equivalent -> rows-only; cross-checked in Fnv1a64Spec.
+    QuerySpec("q38_fnv_hash",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("SELECT doc_id, fnv1a64(text) AS fnv FROM documents " +
+          "ORDER BY doc_id LIMIT 100")
+      },
+      None),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
