@@ -173,6 +173,39 @@ object GraphSuite {
         "FROM deg LEFT JOIN eff ON deg.ego = eff.ego AND deg.name = eff.name " +
         "WHERE deg.ego IN ('3980', '698', '414') ORDER BY ego, name")),
 
+    // Row 45 stretch: GraphX ConnectedComponents on the friend-only
+    // graphs (non-trivial without the ego hub). Oracle: DuckDB recursive
+    // reachability closure — restricted to the five small egos because
+    // the closure is O(V²).
+    QuerySpec("g08_connected_components",
+      (s, _) => graft.graphx.GraphxAnalytics.componentStats(
+        s, dataDir, Seq("348", "3980", "414", "686", "698")),
+      Some("WITH RECURSIVE e0 AS (" +
+        "SELECT regexp_extract(filename, '([0-9]+)\\.edges', 1) AS ego, a, b " +
+        s"FROM read_csv('$dataDir/*.edges', delim=' ', header=false, " +
+        "columns={'a':'VARCHAR','b':'VARCHAR'}, filename=true) " +
+        "WHERE regexp_extract(filename, '([0-9]+)\\.edges', 1) " +
+        "IN ('348', '3980', '414', '686', '698')), " +
+        "adj AS (SELECT DISTINCT ego, a AS v, b AS u FROM e0 " +
+        "UNION SELECT DISTINCT ego, b, a FROM e0), " +
+        "n AS (SELECT DISTINCT ego, v FROM adj), " +
+        "r AS (SELECT ego, v, v AS reach FROM n " +
+        "UNION SELECT adj.ego, adj.v, r.reach FROM r " +
+        "JOIN adj ON r.ego = adj.ego AND r.v = adj.u), " +
+        "comp AS (SELECT ego, v, min(reach) AS lbl FROM r GROUP BY 1, 2) " +
+        "SELECT ego, count(DISTINCT lbl) AS n_components, " +
+        "CAST(max(sz) AS BIGINT) AS largest FROM " +
+        "(SELECT ego, lbl, count(*) AS sz FROM comp GROUP BY 1, 2) " +
+        "GROUP BY ego ORDER BY ego")),
+
+    // Row 45 stretch: PageRank over G⁺ — no SQL oracle (iterative agg);
+    // invariants asserted in GraphxAnalyticsSpec (mass conservation, ego
+    // hub dominance).
+    QuerySpec("g09_pagerank",
+      (s, _) => graft.graphx.GraphxAnalytics.pageranks(
+        s, dataDir, Seq("3980", "698")),
+      None),
+
     // Map-typed property bag: map_contains_key / element_at over the
     // decoded MAP<STRING,STRING> column (operator row 34).
     QuerySpec("g06_property_stats",
