@@ -28,9 +28,11 @@ object Bench {
     val excluded = Set("g07_centrality_pregel")
     val names = SparkEntry.queries.keys.toSeq
       .filterNot(_.startsWith("s_")).filterNot(excluded).sorted
-    var failed = List.empty[String]
+    // Distinct queries that failed during a TIMED run; warm-up failures are
+    // logged but do not fail the round (a fully-measured median stands).
+    val failed = scala.collection.mutable.Set.empty[String]
 
-    def timeOne(name: String): Double = {
+    def timeOne(name: String, timed: Boolean): Double = {
       val fn = SparkEntry.queries(name)
       try {
         val t0 = System.nanoTime()
@@ -38,17 +40,17 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
+          System.err.println(s"[bench] $name FAILED (timed=$timed): ${e.getMessage}")
+          if (timed) failed += name
           -1.0
       }
     }
 
     // Warm-up pass: absorbs JVM/codegen/parquet-footer warm-up so the timed
     // runs measure steady state.
-    names.foreach(timeOne)
+    names.foreach(timeOne(_, timed = false))
     val times = names.map { n =>
-      val runs = (1 to 5).map(_ => timeOne(n)).sorted
+      val runs = (1 to 5).map(_ => timeOne(n, timed = true)).sorted
       n -> runs(2) // median of 5
     }
 

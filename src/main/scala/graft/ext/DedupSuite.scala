@@ -55,11 +55,14 @@ object DedupSuite {
     // of every banded near-dup pipeline, and an oracle-checkable one.
     QuerySpec("q44_ngram_jaccard",
       (s, d) => {
+        // Guard docs with < 3 tokens explicitly: sequence(1, 0) is [1, 0]
+        // (auto-steps -1), and element_at(toks, 0) always throws.
         val sh = toks(s, d).filter(col("doc_id") < 60)
           .select(col("doc_id"), expr(
-            "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+            "array_distinct(IF(size(toks) >= 3, " +
+              "transform(sequence(1, size(toks) - 2), " +
               "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-              "element_at(toks, i + 2))))").as("sh"))
+              "element_at(toks, i + 2))), CAST(array() AS ARRAY<STRING>)))").as("sh"))
         sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
             expr("round(size(array_intersect(a.sh, b.sh)) / " +

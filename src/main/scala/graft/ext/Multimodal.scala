@@ -30,10 +30,8 @@ object Multimodal {
     val p = m.payload
     val w = if (p.length > 0) (p(0) & 0xff) + 1 else 1
     val h = if (p.length > 1) (p(1) & 0xff) + 1 else 1
-    var cs = 0xcbf29ce484222325L
-    var i = 0
-    while (i < p.length) { cs = (cs ^ (p(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    MediaFeatures(m.doc_id, w, h, frames = p.length / 256 + 1, checksum = cs)
+    MediaFeatures(m.doc_id, w, h, frames = p.length / 256 + 1,
+      checksum = graft.functions.Fnv1a64.hash(p))
   }
 
   /** Iterator-to-iterator decode: one partition in, one partition out,

@@ -70,8 +70,8 @@ object SimilaritySuite {
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.3 " +
         "ORDER BY a_id, b_id")),
 
-    // Per-label centroid-nearest member: groupBy + argmax over cosine to
-    // the label centroid — the "representative per cluster" pipeline op.
+    // Per-label summary stats over the embedding column (count + exact
+    // mean of dimension 1) — the cheap cluster-profile aggregation.
     QuerySpec("q48_label_centroids",
       // Decimal-sum mean: exact accumulation, so the result is independent
       // of Spark's partial-aggregation order (double summation isn't).

@@ -37,22 +37,14 @@ object Golden {
       .map(r => r.getAs[String]("ego") -> (r.getAs[Long]("node_count"), r.getAs[Long]("edge_count")))
       .toMap
 
+    // One clustering job serves both sections: centrality is the closed
+    // form 2·(C(deg,2) − eff) over the same deg/eff columns.
     val ccRows = GraphAnalytics.clustering(graphs.edges)
       .join(graphs.friends, Seq("ego", "name"))
       .orderBy(col("ego"), col("first_seen"))
-      .select("ego", "name", "cc")
+      .select("ego", "name", "cc", "deg", "eff")
       .collect()
       .groupBy(_.getAs[String]("ego"))
-
-    val centRows =
-      if (withCentrality)
-        GraphAnalytics.centralityClosedForm(graphs.edges)
-          .join(graphs.friends, Seq("ego", "name"))
-          .orderBy(col("ego"), col("first_seen"))
-          .select("ego", "name", "centrality")
-          .collect()
-          .groupBy(_.getAs[String]("ego"))
-      else Map.empty[String, Array[org.apache.spark.sql.Row]]
 
     countRows.keys.map { ego =>
       val (denom, num) = proofRows(ego)
@@ -74,9 +66,10 @@ object Golden {
         sb.append(s"Clustering coefficient for ${r.getAs[String]("name")}: " +
           s"${JsNum.format(r.getAs[Double]("cc"))}\n")
       }
-      centRows.getOrElse(ego, Array.empty).foreach { r =>
-        sb.append(s"Centrality value for ${r.getAs[String]("name")}: " +
-          s"${r.getAs[Long]("centrality")}\n")
+      if (withCentrality) ccRows.getOrElse(ego, Array.empty).foreach { r =>
+        val deg = r.getAs[Long]("deg"); val eff = r.getAs[Long]("eff")
+        val cent = 2L * (deg * (deg - 1) / 2 - eff)
+        sb.append(s"Centrality value for ${r.getAs[String]("name")}: $cent\n")
       }
       ego -> EgoOutputs(proofs, sb.toString)
     }.toMap

@@ -52,8 +52,12 @@ object EgoGraphs {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), EgoGraphs]
 
-  def load(spark: SparkSession, dataDir: String): EgoGraphs =
+  def load(spark: SparkSession, dataDir: String): EgoGraphs = {
+    // Evict entries for stopped sessions so the static map never pins a
+    // dead SparkSession (and its cached plans) for the JVM lifetime.
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
     memo.getOrElseUpdate((spark, dataDir), doLoad(spark, dataDir))
+  }
 
   private def doLoad(spark: SparkSession, dataDir: String): EgoGraphs = {
     val raw = SnapSource.edges(spark, dataDir)

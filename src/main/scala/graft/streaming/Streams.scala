@@ -37,7 +37,9 @@ object Streams {
     dir
   }
 
-  /** Run a streaming DataFrame into a memory sink and return the result. */
+  /** Run a streaming DataFrame into a memory sink and return the result.
+    * The memory table holds the materialized rows, so the caller may use
+    * the returned DataFrame after the replay dir is deleted. */
   def runToMemory(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     val q = streamed.writeStream.format("memory")
@@ -47,12 +49,25 @@ object Streams {
     s.table(name)
   }
 
-  private def streamEvents(s: SparkSession, sfDir: String,
-      duplicate: Boolean = false): DataFrame = {
-    val schema = Tables(s, sfDir, "events").schema
-    // The replay chunks are written post-truncation, so read them plain
-    // (ts is already µs) — the schema matches Tables' output exactly.
-    s.readStream.schema(schema).parquet(replayDir(s, sfDir, chunks = 8, duplicate))
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Build the replayed stream, run `f` over it, then remove the replay
+    * temp dir (the memory sink owns the results by then). */
+  private def withReplay(s: SparkSession, sfDir: String, duplicate: Boolean)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val dir = replayDir(s, sfDir, chunks = 8, duplicate)
+    try {
+      val schema = Tables(s, sfDir, "events").schema
+      // The replay chunks are written post-truncation, so read them plain
+      // (ts is already µs) — the schema matches Tables' output exactly.
+      f(s.readStream.schema(schema).parquet(dir))
+    } finally deleteRecursively(dir)
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -60,16 +75,15 @@ object Streams {
     // S1: tumbling 1-hour window + watermark; complete mode ≡ the q25
     // batch aggregation, so the oracle is q25's SQL verbatim.
     QuerySpec("s_tumbling_window",
-      (s, d) => {
-        val agg = streamEvents(s, d)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("c"))
-        runToMemory(s, agg, "complete")
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
-            col("event_type"), col("c"))
-          .orderBy("window_start", "event_type")
-      },
+      (s, d) => withReplay(s, d, duplicate = false) { stream =>
+        runToMemory(s,
+          stream.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("c")),
+          "complete")
+      }.select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
+        col("event_type"), col("c"))
+        .orderBy("window_start", "event_type"),
       Some("SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start, " +
         "event_type, count(*) AS c FROM events " +
         "GROUP BY window_start, event_type ORDER BY window_start, event_type")),
@@ -77,17 +91,16 @@ object Streams {
     // S2: per-user session windows (10-minute gap); oracle is the
     // gaps-and-islands batch formulation.
     QuerySpec("s_session_window",
-      (s, d) => {
-        val agg = streamEvents(s, d)
-          .withWatermark("ts", "1 hour")
-          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-        runToMemory(s, agg, "complete")
-          .select(col("user_id"),
-            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            col("n_events"))
-          .orderBy("user_id", "session_start")
-      },
+      (s, d) => withReplay(s, d, duplicate = false) { stream =>
+        runToMemory(s,
+          stream.withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events")),
+          "complete")
+      }.select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+        .orderBy("user_id", "session_start"),
       Some("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, " +
         "lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id " +
         "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events), " +
@@ -102,14 +115,13 @@ object Streams {
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.
     QuerySpec("s_dedup_watermark",
-      (s, d) => {
-        val deduped = streamEvents(s, d, duplicate = true)
-          .withWatermark("ts", "1 hour")
-          .dropDuplicatesWithinWatermark("event_id")
-        runToMemory(s, deduped, "append")
-          .groupBy("event_type").agg(count(lit(1)).as("c"))
-          .orderBy("event_type")
-      },
+      (s, d) => withReplay(s, d, duplicate = true) { stream =>
+        runToMemory(s,
+          stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id"),
+          "append")
+      }.groupBy("event_type").agg(count(lit(1)).as("c"))
+        .orderBy("event_type"),
       Some("SELECT event_type, count(DISTINCT event_id) AS c FROM events " +
         "GROUP BY event_type ORDER BY event_type"))
   )

@@ -35,9 +35,11 @@ for name, sql in sorted(oracle.items()):
     mism = None
     for i, (a, b) in enumerate(zip(spark, duck)):
         for x, y in zip(a, b):
-            same = x == y or (isinstance(x, float) and isinstance(y, float)
-                              and math.isclose(x, y, rel_tol=0, abs_tol=0))
-            if not same:
+            # Exact compare (the driver hashes values); NaN == NaN counts as
+            # equal — both engines legitimately produce NaN for 0/0 ratios.
+            both_nan = (isinstance(x, float) and isinstance(y, float)
+                        and math.isnan(x) and math.isnan(y))
+            if not (x == y or both_nan):
                 mism = (i, x, y)
                 break
         if mism:
