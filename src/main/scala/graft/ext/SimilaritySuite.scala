@@ -46,6 +46,43 @@ object SimilaritySuite {
       .select(col("vec_id"), round(col("dist"), 6).as("dist"))
   }
 
+  /** IVF-style ANN: a KMeans coarse quantizer (nlist cells) assigns every
+    * vector to a cell; the probe searches only its `nprobe` nearest cells
+    * with the exact dot product. The scale path: the quantizer fit is a
+    * sample-sized job, assignment is one linear pass, and each query scans
+    * nprobe/nlist of the corpus. */
+  def ivfTopK(s: SparkSession, d: String, probeId: Long, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    val vecs = base.as[(Long, Seq[Double])]
+      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
+      .toDF("vec_id", "features")
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val probe = vecs.filter(col("vec_id") === probeId)
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    // Probe the cells whose centroids have max INNER PRODUCT with the
+    // query — the refine metric is the dot product, and for
+    // non-normalized vectors euclidean-nearest cells are the wrong ones.
+    def dot(a: org.apache.spark.ml.linalg.Vector, b: org.apache.spark.ml.linalg.Vector): Double =
+      a.toArray.zip(b.toArray).map { case (x, y) => x * y }.sum
+    val cells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -dot(c, probe) }
+      .take(nprobe).map(_._2).toSeq
+    val probeArr = typedLit(probe.toArray.toSeq)
+    model.transform(vecs).select("vec_id", "cell")
+      .join(base, "vec_id")
+      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= probeId)
+      .withColumn("pvec", probeArr)
+      .select(col("vec_id"),
+        round(expr("aggregate(zip_with(arr, pvec, (x, y) -> x * y), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"), 6).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id")).limit(k)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Exact cosine near-dup pairs on a candidate subset — oracle-checked.
@@ -90,6 +127,12 @@ object SimilaritySuite {
     // SimilaritySpec, rows-only here.
     QuerySpec("q49_ann_lsh",
       (s, d) => annTopK(s, d, probeId = 0L, k = 10).orderBy(col("dist"), col("vec_id")),
+      None),
+
+    // IVF-style ANN (KMeans coarse quantizer + exact refine in nprobe
+    // cells) — approximate; recall@10 asserted in SimilaritySpec.
+    QuerySpec("q53_ann_ivf",
+      (s, d) => ivfTopK(s, d, probeId = 0L, k = 10),
       None)
   )
 }

@@ -78,6 +78,43 @@ object TextSuite {
         "* 5.0 / len(string_split(text, ' '))), 6) AS score " +
         "FROM documents ORDER BY score DESC, doc_id LIMIT 50")),
 
+    // TF-IDF top terms per document, pure SQL: tf from one explode+agg,
+    // df from a second agg, smoothed idf, row_number top-3 — the linear
+    // two-shuffle plan (no vocabulary collected to the driver).
+    QuerySpec("q52_tfidf",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = docs.count() // corpus size: one scalar, not a collect of data
+        val toks = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+        tf.join(df, "tok")
+          .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "tok", "score", "rn")
+          .orderBy("doc_id", "rn")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS tok FROM documents WHERE doc_id < 20), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "alltoks AS (SELECT doc_id, unnest(list_distinct(list_filter(" +
+        "string_split(text, ' '), x -> x <> ''))) AS tok FROM documents), " +
+        "df AS (SELECT tok, count(*) AS df FROM alltoks GROUP BY tok), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.tok, " +
+        "round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score " +
+        "FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, tok, score, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM scored) " +
+        "SELECT doc_id, tok, score, rn FROM ranked WHERE rn <= 3 " +
+        "ORDER BY doc_id, rn")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).

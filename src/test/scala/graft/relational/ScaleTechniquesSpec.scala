@@ -1,0 +1,73 @@
+package graft.relational
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The 100 TB techniques that don't show up in per-query oracles: bucketed
+  * co-located joins (no exchange), partitioned writes with partition
+  * pruning, and both demonstrated at plan level — the physical-layout half
+  * of the scale posture. */
+class ScaleTechniquesSpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val or = Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+    or.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // And it still returns the right number of rows.
+      assert(joined.count() ==
+        li.join(or, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    }
+  }
+
+  test("partitioned write + filter => partition pruning at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables(spark, sf, "events")
+      .withColumn("etype", col("event_type"))
+      .write.mode("overwrite").partitionBy("etype").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("etype") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(etype") ||
+      plan.contains("PartitionFilters: [(etype"), plan)
+    val expected = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("salted two-phase aggregation == direct aggregation (skew-safe form)") {
+    // Phase 1 fans a hot key across 16 salt buckets (partial agg), phase 2
+    // combines — exact for algebraic aggregates, and the manual form of
+    // what AQE skew handling does for joins.
+    val li = Tables(spark, sf, "lineitem")
+    val salted = li
+      .withColumn("salt", pmod(hash(col("l_partkey"), col("l_suppkey")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        count(lit(1)).as("n"))
+      .groupBy("l_returnflag")
+      .agg(sum("q").cast("double").as("sq"), sum("n").as("c"))
+      .orderBy("l_returnflag").collect()
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sq"),
+        count(lit(1)).as("c"))
+      .orderBy("l_returnflag").collect()
+    assert(salted.toSeq == direct.toSeq)
+  }
+}
