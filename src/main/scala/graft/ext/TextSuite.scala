@@ -115,6 +115,22 @@ object TextSuite {
         "SELECT doc_id, tok, score, rn FROM ranked WHERE rn <= 3 " +
         "ORDER BY doc_id, rn")),
 
+    // BPE-style pre-tokenization counting: a GPT-2-ish regex (word pieces,
+    // digits, punctuation runs, leading-space variants) instead of plain
+    // whitespace split — the token-budget estimator of an LLM pipeline.
+    // ASCII corpus => Java and RE2 regex classes agree, so it oracles.
+    QuerySpec("q54_regex_tokens",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0))")
+            .as("n_bpe_tokens"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("n_ws_tokens"))
+        .orderBy("doc_id").limit(200),
+      Some("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens " +
+        "FROM documents ORDER BY doc_id LIMIT 200")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).
