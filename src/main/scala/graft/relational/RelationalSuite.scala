@@ -480,6 +480,70 @@ object RelationalSuite {
       },
       None),
 
+    QuerySpec("q55_percentiles",
+      // Exact linear-interpolated quantiles (Spark `percentile` ==
+      // DuckDB `quantile_cont` semantics).
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("round(percentile(l_quantity, 0.5), 6)").as("p50"),
+          expr("round(percentile(l_quantity, 0.95), 6)").as("p95"),
+          expr("round(percentile(l_extendedprice, 0.25), 6)").as("price_p25"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
+        "round(quantile_cont(l_quantity, 0.95), 6) AS p95, " +
+        "round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    QuerySpec("q56_reproducible_sample",
+      // Deterministic ~10% sample via an md5 hash gate — the reproducible
+      // corpus-sampling primitive (same rows on any engine/cluster, no
+      // RNG state), unlike TABLESAMPLE which is engine-dependent.
+      (s, d) => t(s, d, "orders")
+        .filter(conv(expr("substring(md5(CAST(o_orderkey AS STRING)), 1, 4)"), 16, 10)
+          .cast("int") % 100 < 10)
+        .agg(count(lit(1)).as("c"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sp")),
+      Some("SELECT count(*) AS c, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp FROM orders " +
+        "WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INT) % 100 < 10")),
+
+    QuerySpec("q57_funnel",
+      // Classic event-funnel: users whose first signup precedes their
+      // first click precedes their first purchase. One shuffle on user_id.
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(count(lit(1)).as("users"),
+          sum(when(col("t_signup") < col("t_click")
+            && col("t_click") < col("t_purchase"), 1L).otherwise(0L)).as("converted")),
+      Some("SELECT count(*) AS users, CAST(sum(CASE WHEN t_signup < t_click " +
+        "AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS converted FROM (" +
+        "SELECT user_id, " +
+        "min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup, " +
+        "min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click, " +
+        "min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase " +
+        "FROM events GROUP BY user_id)")),
+
+    QuerySpec("q58_pivot",
+      // Pivot with an explicit value list (the scale-safe form: implicit
+      // pivot first collects distinct values to the driver).
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .select(col("l_returnflag"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
