@@ -111,6 +111,21 @@ object Streams {
         "count(*) AS n_events FROM m GROUP BY user_id, sess " +
         "ORDER BY user_id, session_start")),
 
+    // S2b: the same session semantics through the ARBITRARY-state API
+    // (flatMapGroupsWithState + event-time timeout) instead of the
+    // built-in session_window — same gaps-and-islands oracle.
+    QuerySpec("s_stateful_sessions",
+      (s, d) => StatefulSessions.run(s, d),
+      Some("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events), " +
+        "m AS (SELECT user_id, ts, sum(CASE WHEN prev IS NULL " +
+        "OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "count(*) AS n_events FROM m GROUP BY user_id, sess " +
+        "ORDER BY user_id, session_start")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.

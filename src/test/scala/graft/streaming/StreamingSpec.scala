@@ -29,6 +29,14 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("custom flatMapGroupsWithState sessionizer == built-in session_window") {
+    val custom = StatefulSessions.run(spark, sf).collect().toSeq
+    val builtin = Streams.specs.find(_.name == "s_session_window").get
+      .run(spark, sf).collect().toSeq
+    assert(custom.size == builtin.size, s"${custom.size} vs ${builtin.size}")
+    assert(custom == builtin)
+  }
+
   test("watermark evicts: late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
