@@ -480,6 +480,16 @@ object RelationalSuite {
       },
       None),
 
+    QuerySpec("q59_cross_join",
+      // Plain cross join of two small dims (5 x 25) — the only safe size
+      // for an unfiltered cartesian; everything larger goes through q36's
+      // linear rewrite or a bounded candidate set.
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .groupBy("r_name").agg(count(lit(1)).as("c"))
+        .orderBy("r_name"),
+      Some("SELECT r_name, count(*) AS c FROM region CROSS JOIN nation " +
+        "GROUP BY r_name ORDER BY r_name")),
+
     QuerySpec("q55_percentiles",
       // Exact linear-interpolated quantiles (Spark `percentile` ==
       // DuckDB `quantile_cont` semantics).
