@@ -14,7 +14,7 @@ object SparkEntry {
     relational.RelationalSuite.specs ++ snap.GraphSuite.specs ++
       ext.TextSuite.specs ++ ext.DedupSuite.specs ++
       ext.SimilaritySuite.specs ++ ext.Multimodal.specs ++
-      streaming.Streams.specs
+      streaming.Streams.specs ++ sources.SourceFormats.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

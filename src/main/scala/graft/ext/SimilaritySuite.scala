@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySuite {
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  // Native codegen'd expression (graft.functions.ArrayDot) — bit-identical
+  // to the zip_with/aggregate HOF chain but a tight primitive loop, so the
+  // oracled queries using it still hash-match.
+  private def dot(a: String, b: String) = expr(s"array_dot($a, $b)")
 
   /** (vec_id, embedding, nrm) with the L2 norm precomputed. */
   private def withNorm(s: SparkSession, d: String): DataFrame =
@@ -78,8 +79,7 @@ object SimilaritySuite {
       .filter(col("cell").isin(cells: _*) && col("vec_id") =!= probeId)
       .withColumn("pvec", probeArr)
       .select(col("vec_id"),
-        round(expr("aggregate(zip_with(arr, pvec, (x, y) -> x * y), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"), 6).as("dot"))
+        round(expr("array_dot(arr, pvec)"), 6).as("dot"))
       .orderBy(col("dot").desc, col("vec_id")).limit(k)
   }
 

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** `array_dot(a, b) -> double`: the similarity hot-loop as a NATIVE
+  * codegen'd expression — a tight primitive loop over columnar ArrayData
+  * instead of the zip_with→aggregate lambda chain. Accumulation order and
+  * per-element float→double widening match the HOF formulation exactly,
+  * so results are bit-identical (ArrayDotSpec asserts it) and the two are
+  * interchangeable under the oracle gate.
+  */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType = left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"array_dot requires two ARRAY<FLOAT> or two ARRAY<DOUBLE> inputs, " +
+        s"got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (elemType == FloatType) ArrayDot.dotFloat(a, b) else ArrayDot.dotDouble(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ArrayDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val fn = if (elemType == FloatType) "dotFloat" else "dotDouble"
+    defineCodeGen(ctx, ev, (a, b) => s"$helper.$fn($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_dot"
+}
+
+object ArrayDot {
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}

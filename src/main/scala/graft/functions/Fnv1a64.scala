@@ -75,5 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "fnv1a64 takes exactly one argument")
         Fnv1a64(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "array_dot takes exactly two arguments")
+        ArrayDot(children.head, children(1))
+      }))
   }
 }

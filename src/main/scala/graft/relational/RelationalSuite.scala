@@ -480,6 +480,27 @@ object RelationalSuite {
       },
       None),
 
+    QuerySpec("q62_window_distribution",
+      // Distribution window functions: ntile / percent_rank / cume_dist
+      // (ranking beyond row_number; unique order key keeps them total).
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("SELECT o_orderpriority, o_orderkey, " +
+        "ntile(4) OVER w AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderpriority, o_orderkey")),
+
     QuerySpec("q59_cross_join",
       // Plain cross join of two small dims (5 x 25) — the only safe size
       // for an unfiltered cartesian; everything larger goes through q36's
