@@ -501,6 +501,59 @@ object RelationalSuite {
         "ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_orderpriority, o_orderkey")),
 
+    QuerySpec("q63_asof_union",
+      // TRUE as-of join via the union + last(IGNORE NULLS) window trick:
+      // for every click, the user's most recent signup at-or-before it.
+      // One shuffle on user_id, no range join, no per-row probe — the
+      // scale-safe as-of pattern (q23 is the max_by flavour).
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("unix_millis(ts)").as("signup_ms"), lit(0).as("is_click"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("bigint").as("signup_ms"), lit(1).as("is_click"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("is_click"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        signups.unionByName(clicks)
+          .withColumn("last_signup_ms", last(col("signup_ms"), ignoreNulls = true).over(w))
+          .filter(col("is_click") === 1)
+          .select(col("user_id"), col("event_id"), col("last_signup_ms"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("WITH u AS (" +
+        "SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "epoch_ms(CAST(ts AS TIMESTAMP)) AS signup_ms, 0 AS is_click " +
+        "FROM events WHERE event_type = 'signup' " +
+        "UNION ALL SELECT user_id, CAST(ts AS TIMESTAMP), event_id, NULL, 1 " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT user_id, event_id, last_signup_ms FROM (" +
+        "SELECT user_id, event_id, is_click, " +
+        "last_value(signup_ms IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, is_click, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ms " +
+        "FROM u) WHERE is_click = 1 ORDER BY user_id, event_id")),
+
+    QuerySpec("q64_range_frame",
+      // Value-based RANGE frame (vs q16's ROWS frame): all orders within
+      // 100.0 of the current price — deterministic even under order-key
+      // ties, because the frame is defined by values, not positions.
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-100L, 0L)
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_close"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_close " +
+        "FROM orders ORDER BY o_orderpriority, o_orderkey")),
+
     QuerySpec("q59_cross_join",
       // Plain cross join of two small dims (5 x 25) — the only safe size
       // for an unfiltered cartesian; everything larger goes through q36's
