@@ -38,6 +38,7 @@ object SimilaritySuite {
       .as[(Long, Seq[Double])]
       .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
       .toDF("vec_id", "features")
+      .cache()
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(2.0).setNumHashTables(6).setSeed(42)
@@ -57,9 +58,12 @@ object SimilaritySuite {
     import s.implicits._
     val base = Tables(s, d, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    // KMeans.fit iterates over its input many times — cache the vectorized
+    // form or every iteration re-runs the scan + deserializing map.
     val vecs = base.as[(Long, Seq[Double])]
       .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
       .toDF("vec_id", "features")
+      .cache()
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(vecs)

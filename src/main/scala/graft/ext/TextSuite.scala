@@ -84,17 +84,19 @@ object TextSuite {
     QuerySpec("q52_tfidf",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val n = docs.count() // corpus size: one scalar, not a collect of data
-        val toks = docs.filter(col("doc_id") < 20)
+        // Corpus size as a 1-row broadcast cross join, not an eager
+        // driver-side count() at plan-build time.
+        val n = docs.agg(count(lit(1)).cast("double").as("n"))
+        val tf = docs.filter(col("doc_id") < 20)
           .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df = Tables(s, d, "documents")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = docs
           .select(col("doc_id"), explode(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
-        tf.join(df, "tok")
-          .withColumn("score", round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+        tf.join(df, "tok").crossJoin(broadcast(n))
+          .withColumn("score", round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("doc_id", "tok", "score", "rn")

@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // Like the HOF chain, mismatched lengths and null elements yield NULL
+  // (zip_with pads with nulls and a null product nulls the sum).
+  override def nullable: Boolean = true
+
   private def elemType = left.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -29,13 +33,22 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (elemType == FloatType) ArrayDot.dotFloat(a, b) else ArrayDot.dotDouble(a, b)
+    if (!ArrayDot.comparable(a, b)) null
+    else if (elemType == FloatType) ArrayDot.dotFloat(a, b)
+    else ArrayDot.dotDouble(a, b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = ArrayDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val fn = if (elemType == FloatType) "dotFloat" else "dotDouble"
-    defineCodeGen(ctx, ev, (a, b) => s"$helper.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if (!$helper.comparable($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $helper.$fn($a, $b);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
@@ -45,8 +58,20 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 }
 
 object ArrayDot {
+  /** Equal lengths and no null elements — otherwise the result is NULL. */
+  def comparable(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -54,7 +79,7 @@ object ArrayDot {
   }
 
   def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

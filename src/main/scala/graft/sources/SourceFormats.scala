@@ -19,10 +19,7 @@ object SourceFormats {
   private lazy val root: java.nio.file.Path = {
     val r = Files.createTempDirectory("graft-roundtrip")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      if (Files.exists(r)) {
-        Files.walk(r).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }))
+      graft.TmpFiles.deleteRecursively(r.toString)))
     r
   }
 

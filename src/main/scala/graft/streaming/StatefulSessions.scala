@@ -9,55 +9,64 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per-user session assembly with an explicit state machine instead of
   * the built-in `session_window`.
   *
-  * Semantics match `session_window(ts, gap)`: a session extends while the
-  * next event starts < gap after the previous one; sessions are emitted
-  * when the event-time watermark passes their close (event-time timeout),
-  * so late events inside the watermark still merge correctly.
+  * Semantics match `session_window(ts, gap)` including out-of-order
+  * arrivals: state holds ALL open sessions (every session whose close is
+  * not yet past the watermark), a late event inside the watermark starts
+  * or extends whichever session its interval touches (sessions bridge and
+  * merge when an event closes the gap between them), and events behind
+  * the watermark are dropped exactly like the built-in. Sessions emit
+  * once the watermark passes `last + gap` — after that no surviving event
+  * can merge into them (it would need ts < last + gap ≤ watermark).
   */
 object StatefulSessions {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
-  final case class SessionState(openStart: Long, openLast: Long, n: Int)
+  final case class OpenSession(start: Long, last: Long, n: Int)
+  final case class UserSessions(open: List[OpenSession])
   final case class Session(user_id: Long, session_start: Long, n_events: Int)
 
   private val GapMs = 10 * 60 * 1000L
 
-  /** Fold a batch of events (any order) into the open session, emitting
-    * every session that closed. */
-  def step(userId: Long, events: Iterator[Event],
-      state: GroupState[SessionState]): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      // Watermark passed openLast + gap: the open session is final.
-      val s = state.get
-      state.remove()
-      return Iterator(Session(userId, s.openStart, s.n))
-    }
-    val sorted = events.map(_.ts.getTime).toArray.sorted
-    var out = List.empty[Session]
-    var st = state.getOption.orNull
-    sorted.foreach { t =>
-      st match {
-        case null => st = SessionState(t, t, 1)
-        case SessionState(start, last, n) =>
-          if (t - last < GapMs) st = SessionState(start, math.max(last, t), n + 1)
-          else {
-            out ::= Session(userId, start, n)
-            st = SessionState(t, t, 1)
-          }
-      }
-    }
-    if (st != null) {
-      state.update(st)
-      state.setTimeoutTimestamp(st.openLast + GapMs)
-    }
-    out.reverseIterator
+  /** Insert one event, then re-normalize: sort by start and merge every
+    * pair of neighbours whose gap closed. */
+  private[streaming] def insert(open: List[OpenSession], t: Long): List[OpenSession] = {
+    val sorted = (OpenSession(t, t, 1) :: open).sortBy(_.start)
+    sorted.foldLeft(List.empty[OpenSession]) {
+      case (acc @ (prev :: rest), cur) if cur.start < prev.last + GapMs =>
+        OpenSession(prev.start, math.max(prev.last, cur.last), prev.n + cur.n) :: rest
+      case (acc, cur) => cur :: acc
+    }.reverse
   }
 
-  /** Streaming sessionize: (user_id, session_start TIMESTAMP, n_events). */
+  def step(userId: Long, events: Iterator[Event],
+      state: GroupState[UserSessions]): Iterator[Session] = {
+    val wm = state.getCurrentWatermarkMs()
+    var open = state.getOption.map(_.open).getOrElse(Nil)
+    if (!state.hasTimedOut) {
+      // Drop events behind the watermark (the built-in does the same),
+      // fold the rest into the open-session set.
+      events.map(_.ts.getTime).filter(_ >= wm).toArray.sorted
+        .foreach(t => open = insert(open, t))
+    }
+    val (closed, stillOpen) = open.partition(_.last + GapMs <= wm)
+    if (stillOpen.nonEmpty) {
+      state.update(UserSessions(stillOpen))
+      // Clamp: a timeout timestamp at or below the watermark is rejected
+      // by Spark (and would mean the session already closed this batch).
+      state.setTimeoutTimestamp(
+        math.max(stillOpen.map(_.last).min + GapMs, wm + 1))
+    } else {
+      state.remove()
+    }
+    closed.sortBy(_.start)
+      .map(s => Session(userId, s.start, s.n)).iterator
+  }
+
+  /** Streaming sessionize: (user_id, session_start TIMESTAMP, n_events).
+    * The watermark column itself must survive into the typed Dataset —
+    * event-time timeout is rejected if the projection drops it. */
   def sessionize(events: DataFrame): Dataset[Session] = {
     import events.sparkSession.implicits._
-    // The watermark column itself must survive into the typed Dataset —
-    // event-time timeout is rejected if the projection drops it.
     events
       .select("user_id", "ts")
       .withWatermark("ts", "1 hour")
@@ -82,22 +91,13 @@ object StatefulSessions {
         .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
 
       val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
-      val name = "mem_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = sessionize(stream).writeStream.format("memory")
-        .queryName(name).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(name)
+      Streams.runToMemory(s, sessionize(stream).toDF(), "append")
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
           date_format(timestamp_millis(col("session_start")), "yyyy-MM-dd HH:mm:ss")
             .as("session_start"),
           col("n_events").cast("bigint").as("n_events"))
         .orderBy("user_id", "session_start")
-    } finally {
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TmpFiles.deleteRecursively(dir)
   }
 }

@@ -49,14 +49,6 @@ object Streams {
     s.table(name)
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-  }
-
   /** Build the replayed stream, run `f` over it, then remove the replay
     * temp dir (the memory sink owns the results by then). */
   private def withReplay(s: SparkSession, sfDir: String, duplicate: Boolean)(
@@ -67,7 +59,7 @@ object Streams {
       // The replay chunks are written post-truncation, so read them plain
       // (ts is already µs) — the schema matches Tables' output exactly.
       f(s.readStream.schema(schema).parquet(dir))
-    } finally deleteRecursively(dir)
+    } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
   val specs: Seq[QuerySpec] = Seq(

@@ -23,9 +23,29 @@ class ArrayDotSpec extends SparkSuite {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     assert(df.selectExpr("array_dot(a, b)").head().getDouble(0) == 32.0)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // NO_CODEGEN forces the interpreted nullSafeEval path (wholeStage=false
+    // alone still goes through generated MutableProjection).
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try assert(df.selectExpr("array_dot(a, b)").head().getDouble(0) == 32.0)
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("HOF parity on edge cases: ragged lengths and null elements yield NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0))),              // ragged
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(1.0))),        // null element
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))   // clean
+      .toDF("a", "b")
+      .selectExpr("array_dot(a, b) AS native",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), " +
+          "(acc, v) -> acc + v) AS hof")
+      .collect()
+    df.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null-ness mismatch: native=${r.get(0)} hof=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
   }
 
   test("mixed types fail at analysis with a named error") {

@@ -19,6 +19,7 @@ class ScaleTechniquesSpec extends SparkSuite {
       .saveAsTable("lineitem_bkt")
     or.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("orders_bkt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("lineitem_bkt")
@@ -31,7 +32,7 @@ class ScaleTechniquesSpec extends SparkSuite {
       assert(joined.count() ==
         li.join(or, col("l_orderkey") === col("o_orderkey")).count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
     }
@@ -39,16 +40,18 @@ class ScaleTechniquesSpec extends SparkSuite {
 
   test("partitioned write + filter => partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString
-    Tables(spark, sf, "events")
-      .withColumn("etype", col("event_type"))
-      .write.mode("overwrite").partitionBy("etype").parquet(dir)
-    val pruned = spark.read.parquet(dir).filter(col("etype") === "click")
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(etype") ||
-      plan.contains("PartitionFilters: [(etype"), plan)
-    val expected = Tables(spark, sf, "events")
-      .filter(col("event_type") === "click").count()
-    assert(pruned.count() == expected)
+    try {
+      Tables(spark, sf, "events")
+        .withColumn("etype", col("event_type"))
+        .write.mode("overwrite").partitionBy("etype").parquet(dir)
+      val pruned = spark.read.parquet(dir).filter(col("etype") === "click")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(etype") ||
+        plan.contains("PartitionFilters: [(etype"), plan)
+      val expected = Tables(spark, sf, "events")
+        .filter(col("event_type") === "click").count()
+      assert(pruned.count() == expected)
+    } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
   test("salted two-phase aggregation == direct aggregation (skew-safe form)") {

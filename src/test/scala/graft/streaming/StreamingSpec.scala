@@ -37,6 +37,59 @@ class StreamingSpec extends SparkSuite {
     assert(custom == builtin)
   }
 
+  test("stateful sessionizer handles out-of-order events across batches") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo").toString
+    try {
+      // Batch 1: user 1 session at 12:00-12:02; user 9 pins max ts so the
+      // watermark lands at 11:40 after the batch.
+      Seq((1L, t("12:00")), (1L, t("12:02")), (9L, t("12:40")))
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+      val name = "ooo_sessions"
+      val q = StatefulSessions.sessionize(stream).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      q.processAllAvailable()
+      // Batch 2: a LATE event (11:45 < the 12:00 open session, but above
+      // the 11:40 watermark). Gap to the open session is 15 min -> it is
+      // its own earlier session, NOT merged, and must not crash the
+      // timeout registration. Push the watermark so everything closes.
+      Seq((1L, t("11:45")), (9L, t("14:00")))
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.stop()
+
+      val sessions = spark.table(name).filter(col("user_id") === 1)
+        .select("session_start", "n_events").collect()
+        .map(r => (new java.sql.Timestamp(r.getLong(0)).toString, r.getInt(1)))
+        .sorted.toSeq
+      assert(sessions == Seq(("2024-01-01 11:45:00.0", 1), ("2024-01-01 12:00:00.0", 2)),
+        s"got $sessions")
+    } finally graft.TmpFiles.deleteRecursively(dir)
+  }
+
+  test("bridging late event merges two open sessions into one") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    // Single batch, watermark 0: 12:00 and 12:15 are separate (15-min
+    // gap) until 12:08 bridges them into one session of 3 events.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bridge").toString
+    try {
+      Seq((1L, t("12:00")), (1L, t("12:15")), (1L, t("12:08")), (9L, t("23:00")))
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+      val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+      val name = "bridge_sessions"
+      val q = StatefulSessions.sessionize(stream).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val sessions = spark.table(name).filter(col("user_id") === 1)
+        .select("n_events").collect().map(_.getInt(0)).toSeq
+      assert(sessions == Seq(3), s"got $sessions")
+    } finally graft.TmpFiles.deleteRecursively(dir)
+  }
+
   test("watermark evicts: late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
