@@ -50,8 +50,11 @@ object Bench {
     // runs measure steady state.
     names.foreach(timeOne(_, timed = false))
     val times = names.map { n =>
-      val runs = (1 to 5).map(_ => timeOne(n, timed = true)).sorted
-      n -> runs(2) // median of 5
+      // Median over SUCCESSFUL runs only: -1 sentinels sorting to the
+      // front would otherwise pick an optimistic percentile of the
+      // survivors. Fewer than 3 clean runs -> no defensible median.
+      val runs = (1 to 5).map(_ => timeOne(n, timed = true)).filter(_ >= 0).sorted
+      n -> (if (runs.size >= 3) runs(runs.size / 2) else -1.0)
     }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -85,17 +85,25 @@ object DedupSuite {
     // SimHash: 60-bit signature as a pure linear aggregation — per-token
     // md5 -> signed bit votes -> sign. Near-dup docs differ in few bits.
     QuerySpec("q45_simhash",
-      (s, d) => toks(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .select(col("doc_id"),
-          conv(expr("substring(md5(tok), 1, 15)"), 16, 10).cast("bigint").as("h"))
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(sum(expr("(shiftright(h, b) % 2) * 2 - 1")).as("v"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-          .otherwise(0L)).as("simhash"))
-        .orderBy("doc_id").limit(200),
+      // ONE shuffle on doc_id, no row amplification: the 60 bit votes are
+      // 60 codegen'd partial-sum columns (map-side combine makes each
+      // pre-shuffle record a single 60-long vector per doc per partition),
+      // not an explode(sequence(0,59)) that shuffles 60x the token rows.
+      (s, d) => {
+        val votes = (0 until 60).map(b =>
+          sum(expr(s"(shiftright(h, $b) % 2) * 2 - 1")).as(s"v$b"))
+        val sig = (0 until 60)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+        toks(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .select(col("doc_id"),
+            conv(expr("substring(md5(tok), 1, 15)"), 16, 10).cast("bigint").as("h"))
+          .groupBy("doc_id")
+          .agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), sig.as("simhash"))
+          .orderBy("doc_id").limit(200)
+      },
       Some("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h " +
         "FROM tk WHERE tok <> ''), " +

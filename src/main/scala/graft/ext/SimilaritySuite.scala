@@ -66,7 +66,12 @@ object SimilaritySuite {
       .cache()
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(vecs)
+    // The coarse quantizer only needs a representative sample: fit on a
+    // bounded fraction (decoupled from corpus size), assign the full
+    // corpus. Floor of 10·nlist rows keeps tiny fixtures trainable.
+    val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
+    val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
+    val model = km.fit(fitInput)
     val probe = vecs.filter(col("vec_id") === probeId)
       .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
     // Probe the cells whose centroids have max INNER PRODUCT with the

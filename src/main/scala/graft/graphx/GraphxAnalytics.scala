@@ -1,7 +1,8 @@
 package graft.graphx
 
 import graft.snap.EgoGraphs
-import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+import org.apache.spark.graphx.{Graph, PartitionStrategy, VertexId}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,26 +22,53 @@ object GraphxAnalytics {
   val egoOrder: Seq[String] =
     Seq("0", "107", "1684", "1912", "3437", "348", "3980", "414", "686", "698")
 
+  /** Composite-id edge RDD, ONE tuple per undirected pair, built entirely
+    * on the executors (the spoke dedup is a distributed `distinct`, the
+    * id compositing a map over the DataFrame's row RDD — no edge ever
+    * touches the driver, so this survives a 100× edge count unchanged).
+    * Ego center gets in-network id Offset-1 (never a SNAP node id). */
+  private[graphx] def compositeEdges(s: SparkSession, dataDir: String,
+      egos: Seq[String], withEgoCenter: Boolean): RDD[(VertexId, VertexId)] = {
+    val idx = egos.zipWithIndex.toMap
+    val e = EgoGraphs.load(s, dataDir).edges
+      .filter(col("ego").isin(egos: _*))
+      .select(col("ego"),
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val withSpokes =
+      if (!withEgoCenter) e
+      else {
+        val members = e.select(col("ego"), col("src").as("n"))
+          .unionByName(e.select(col("ego"), col("dst").as("n"))).distinct()
+        e.unionByName(
+          members.select(col("ego"), lit(-1L).as("src"), col("n").as("dst")))
+      }
+    withSpokes.rdd.map { r =>
+      val i = idx(r.getString(0))
+      def vid(n: Long): VertexId = i * Offset + (if (n == -1L) Offset - 1 else n)
+      (vid(r.getLong(1)), vid(r.getLong(2)))
+    }
+  }
+
   private def friendGraph(s: SparkSession, dataDir: String,
       egos: Seq[String], withEgoCenter: Boolean): Graph[Unit, Int] = {
-    val idx = egos.zipWithIndex.toMap
-    val edges = EgoGraphs.load(s, dataDir).edges
-      .filter(col("ego").isin(egos: _*))
-      .select(col("ego"), col("src").cast("long"), col("dst").cast("long"))
-      .collect() // small SNAP fixtures; at scale this stays an RDD map
-      .map(r => (idx(r.getString(0)), r.getLong(1), r.getLong(2)))
-    val spokes =
-      if (!withEgoCenter) Array.empty[(Int, Long, Long)]
-      else edges.flatMap { case (i, a, b) => Seq((i, -1L, a), (i, -1L, b)) }.distinct
-    // Ego center gets the in-network id OFFSET-1 (never a SNAP node id).
-    // Undirected semantics: emit both directions (PageRank follows edge
-    // direction; CC would not care, but symmetry is harmless there).
-    val tuples = (edges ++ spokes).flatMap { case (i, a, b) =>
-      def vid(n: Long) = i * Offset + (if (n == -1L) Offset - 1 else n)
-      Seq((vid(a), vid(b)), (vid(b), vid(a)))
-    }
-    Graph.fromEdgeTuples(s.sparkContext.parallelize(tuples.toSeq), ())
+    // Undirected semantics: materialize both directions (PageRank follows
+    // edge direction; CC would not care, but symmetry is harmless there).
+    val tuples = compositeEdges(s, dataDir, egos, withEgoCenter)
+      .flatMap(t => Iterator(t, t.swap))
+    Graph.fromEdgeTuples(tuples, ())
       .partitionBy(PartitionStrategy.EdgePartition2D)
+  }
+
+  /** Stress centrality (g07) over the composite union graph G⁺ of the
+    * given egos, distributed end-to-end: edge build, BFS path counting and
+    * the σ-combination all stay on the executors. Ego centers are interior
+    * but never counted (the reference counts friends only). */
+  def egoStress(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
+    val edges = compositeEdges(s, dataDir, egos, withEgoCenter = true)
+    StressCentrality.stress(s, edges, vid => vid % Offset != Offset - 1)
+      .select(element_at(typedLit(egos), expr(s"CAST(id div $Offset AS INT)") + 1).as("ego"),
+        (col("id") % Offset).cast("string").as("name"), col("centrality"))
+      .orderBy("ego", "name")
   }
 
   /** (ego, n_components, largest) of the friend-only graph. */

@@ -1,7 +1,9 @@
 package graft.graphx
 
-import org.apache.spark.SparkContext
 import org.apache.spark.graphx._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** General-graph stress centrality with the reference's semantics
   * (`/root/reference/src/main.js:108-125`): for each countable node x,
@@ -83,24 +85,47 @@ object StressCentrality {
     g.vertices.mapValues(_._1)
   }
 
-  /** Stress centrality for every x in `countable` (the reference counts
-    * friends only — the ego can be interior but is never counted or used
-    * as an endpoint). `edges` are undirected (one tuple per pair). */
-  def stress(sc: SparkContext, edges: Seq[(Long, Long)], countable: Set[Long]): Map[Long, Long] = {
-    val graph = Graph.fromEdgeTuples(sc.parallelize(edges.map { case (a, b) => (a, b) }), ())
-    val maps = allPairs(graph).collect().toMap
-    val nodes = countable.toSeq
-    nodes.map { x =>
-      val mx = maps(x)
-      val total = (for {
-        s <- nodes if s != x
-        d <- nodes if d != x && d != s
-        (dsx, ssx) <- mx.get(s)
-        (dxd, sxd) <- mx.get(d)
-        (dsd, _) <- maps(s).get(d)
-        if dsd > 1 && dsx + dxd == dsd
-      } yield ssx * sxd).sum
-      x -> total
-    }.toMap
+  /** Stress centrality for every vertex satisfying `countable` (the
+    * reference counts friends only — the ego can be interior but is never
+    * counted or used as an endpoint). `edges` are undirected, ONE tuple
+    * per pair (both-direction duplicates would double every σ).
+    *
+    * Fully distributed: the per-vertex path maps never leave the
+    * executors. The σ(s,x)·σ(x,d) combination is a self-join of the
+    * flattened (x, endpoint, dist, σ) entries on x, validated against the
+    * endpoint-pair distance table — all shuffles keyed on vertex/pair ids,
+    * nothing driver-side. Returns (id BIGINT, centrality BIGINT), one row
+    * per countable vertex (zeros included). */
+  def stress(spark: SparkSession, edges: RDD[(VertexId, VertexId)],
+      countable: VertexId => Boolean): DataFrame = {
+    import spark.implicits._
+    val graph = Graph.fromEdgeTuples(edges, ())
+    val maps = allPairs(graph)
+    // (x, e, dist(x,e), σ(x,e)) for every reachable endpoint e ≠ x.
+    // Symmetric in (x, e) for undirected graphs, so one flatten serves
+    // both the interior-leg and the endpoint-pair-distance roles.
+    val ent = maps.flatMap { case (x, m) =>
+      m.iterator.collect { case (e, (dd, sig)) if e != x => (x, e, dd, sig) }
+    }.cache()
+    val legs = ent
+      .filter { case (x, e, _, _) => countable(x) && countable(e) }
+      .toDF("x", "e", "de", "se")
+    val pairDist = ent
+      .filter { case (a, b, dd, _) => dd > 1 && countable(a) && countable(b) }
+      .map { case (a, b, dd, _) => (a, b, dd) }
+      .toDF("s", "d", "dsd")
+    val contrib = legs.select(col("x"), col("e").as("s"),
+        col("de").as("dsx"), col("se").as("ssx"))
+      .join(legs.select(col("x"), col("e").as("d"),
+        col("de").as("dxd"), col("se").as("sxd")), "x")
+      .where(col("s") =!= col("d"))
+      .join(pairDist, Seq("s", "d"))
+      .where(col("dsx") + col("dxd") === col("dsd"))
+      .groupBy(col("x"))
+      .agg(sum(col("ssx") * col("sxd")).as("centrality"))
+    maps.keys.filter(countable).toDF("x")
+      .join(contrib, Seq("x"), "left")
+      .select(col("x").as("id"),
+        coalesce(col("centrality"), lit(0L)).as("centrality"))
   }
 }

@@ -473,11 +473,12 @@ object RelationalSuite {
     // (fnv1a64) — resolved through plain SQL like a built-in. No DuckDB
     // FNV equivalent -> rows-only; cross-checked in Fnv1a64Spec.
     QuerySpec("q38_fnv_hash",
-      (s, d) => {
-        Tables.registerAll(s, d)
-        s.sql("SELECT doc_id, fnv1a64(text) AS fnv FROM documents " +
-          "ORDER BY doc_id LIMIT 100")
-      },
+      // selectExpr still resolves fnv1a64 through the extension-registered
+      // FunctionRegistry — no temp-view registration needed (re-registering
+      // all ten views per call dominated this query's round-2 bench time).
+      (s, d) => Tables(s, d, "documents")
+        .selectExpr("doc_id", "fnv1a64(text) AS fnv")
+        .orderBy("doc_id").limit(100),
       None),
 
     QuerySpec("q62_window_distribution",

@@ -151,22 +151,10 @@ object GraphSuite {
     // the three smallest egos, checked against the same closed-form
     // oracle as g04 — a dual-implementation correctness gate.
     QuerySpec("g07_centrality_pregel",
-      (s, _) => {
-        import s.implicits._
-        val g = EgoGraphs.load(s, dataDir)
-        val smallEgos = Seq("3980", "698", "414")
-        val rows = smallEgos.flatMap { ego =>
-          val friendEdges = g.edges.filter(col("ego") === ego)
-            .select(col("src").cast("long"), col("dst").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-          val friends = friendEdges.flatMap(t => Seq(t._1, t._2)).toSet
-          val spokes = friends.toSeq.map(f => (-1L, f)) // synthetic ego center id
-          graft.graphx.StressCentrality
-            .stress(s.sparkContext, friendEdges ++ spokes, friends)
-            .toSeq.map { case (n, c) => (ego, n.toString, c) }
-        }
-        rows.toDF("ego", "name", "centrality").orderBy("ego", "name")
-      },
+      // One distributed GraphX job over the composite union graph of the
+      // three egos — edge build, BFS and σ-combination all executor-side.
+      (s, _) => graft.graphx.GraphxAnalytics.egoStress(
+        s, dataDir, Seq("3980", "698", "414")),
       Some(s"WITH $duckEdges, $duckCanonical " +
         "SELECT deg.ego AS ego, deg.name AS name, " +
         "CAST(2 * (deg.deg * (deg.deg - 1) / 2 - coalesce(eff.eff, 0)) AS BIGINT) AS centrality " +

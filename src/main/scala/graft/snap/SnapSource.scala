@@ -30,11 +30,16 @@ object SnapSource {
 
   /** Raw directed edge lines: (ego, line_no, src, dst). Each undirected
     * friendship appears twice in the file (`main.js:244-247`). */
-  def edges(spark: SparkSession, dataDir: String): DataFrame =
+  def edges(spark: SparkSession, dataDir: String): DataFrame = {
+    // split-and-index, exactly the reference's `pair = line.split(' ');
+    // pair[0], pair[1]` (main.js:246-247) — a trailing-whitespace or
+    // >2-token line must yield the SECOND token, not the last.
+    val parts = split(col("line"), " ")
     lines(spark, dataDir, "edges")
       .select(col("ego"), col("line_no"),
-        substring_index(col("line"), " ", 1).as("src"),
-        substring_index(col("line"), " ", -1).as("dst"))
+        element_at(parts, 1).as("src"),
+        element_at(parts, 2).as("dst"))
+  }
 
   /** (ego, idx, key, value): split at FIRST space; key = full name up to
     * its LAST `;`, value = remainder (`main.js:148-151,190-193`). */

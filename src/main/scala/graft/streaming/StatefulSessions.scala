@@ -21,18 +21,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessions {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
-  final case class OpenSession(start: Long, last: Long, n: Int)
+  final case class OpenSession(start: Long, last: Long, n: Int) // micros
   final case class UserSessions(open: List[OpenSession])
-  final case class Session(user_id: Long, session_start: Long, n_events: Int)
+  final case class Session(user_id: Long, session_start: Long, n_events: Int) // micros
 
-  private val GapMs = 10 * 60 * 1000L
+  // All session arithmetic runs in MICROSECONDS: the built-in
+  // session_window (and the DuckDB oracle) compare gaps at µs precision,
+  // so an event pair straddling the gap boundary within 1 ms must not
+  // merge here while splitting there.
+  private val GapUs = 10 * 60 * 1000000L
+
+  /** Microseconds since epoch of a Timestamp (getTime alone truncates to
+    * ms; the sub-ms part lives in getNanos, which also repeats the ms). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   /** Insert one event, then re-normalize: sort by start and merge every
     * pair of neighbours whose gap closed. */
   private[streaming] def insert(open: List[OpenSession], t: Long): List[OpenSession] = {
     val sorted = (OpenSession(t, t, 1) :: open).sortBy(_.start)
     sorted.foldLeft(List.empty[OpenSession]) {
-      case (acc @ (prev :: rest), cur) if cur.start < prev.last + GapMs =>
+      case (acc @ (prev :: rest), cur) if cur.start < prev.last + GapUs =>
         OpenSession(prev.start, math.max(prev.last, cur.last), prev.n + cur.n) :: rest
       case (acc, cur) => cur :: acc
     }.reverse
@@ -40,21 +49,23 @@ object StatefulSessions {
 
   def step(userId: Long, events: Iterator[Event],
       state: GroupState[UserSessions]): Iterator[Session] = {
-    val wm = state.getCurrentWatermarkMs()
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
     var open = state.getOption.map(_.open).getOrElse(Nil)
     if (!state.hasTimedOut) {
       // Drop events behind the watermark (the built-in does the same),
       // fold the rest into the open-session set.
-      events.map(_.ts.getTime).filter(_ >= wm).toArray.sorted
+      events.map(e => micros(e.ts)).filter(_ >= wmUs).toArray.sorted
         .foreach(t => open = insert(open, t))
     }
-    val (closed, stillOpen) = open.partition(_.last + GapMs <= wm)
+    val (closed, stillOpen) = open.partition(_.last + GapUs <= wmUs)
     if (stillOpen.nonEmpty) {
       state.update(UserSessions(stillOpen))
-      // Clamp: a timeout timestamp at or below the watermark is rejected
-      // by Spark (and would mean the session already closed this batch).
+      // Timeout API is ms-granular: round the µs close time UP so the
+      // close predicate above is already true when the timeout fires.
+      // Clamp: a timeout at or below the watermark is rejected by Spark.
+      val closeMs = (stillOpen.map(_.last).min + GapUs + 999L) / 1000L
       state.setTimeoutTimestamp(
-        math.max(stillOpen.map(_.last).min + GapMs, wm + 1))
+        math.max(closeMs, state.getCurrentWatermarkMs() + 1))
     } else {
       state.remove()
     }
@@ -94,7 +105,7 @@ object StatefulSessions {
       Streams.runToMemory(s, sessionize(stream).toDF(), "append")
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
-          date_format(timestamp_millis(col("session_start")), "yyyy-MM-dd HH:mm:ss")
+          date_format(timestamp_micros(col("session_start")), "yyyy-MM-dd HH:mm:ss")
             .as("session_start"),
           col("n_events").cast("bigint").as("n_events"))
         .orderBy("user_id", "session_start")

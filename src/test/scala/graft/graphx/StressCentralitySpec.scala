@@ -13,6 +13,11 @@ import scala.util.Random
   * star+noise graphs (which have diameter ≤ 2 by construction). */
 class StressCentralitySpec extends SparkSuite {
 
+  /** Driver-side wrapper over the distributed API for toy-graph asserts. */
+  private def stressMapOf(edges: Seq[(Long, Long)], countable: Set[Long]): Map[Long, Long] =
+    StressCentrality.stress(spark, spark.sparkContext.parallelize(edges), countable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   private def closedFormFor(edgeTuples: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val df = edgeTuples
@@ -28,8 +33,8 @@ class StressCentralitySpec extends SparkSuite {
     // neighbours: 2 for {1,3} only -> stress(2) = 2; others 0.
     val friendEdges = Seq((1L, 2L), (2L, 3L))
     val spokes = (1L to 4L).map(f => (0L, f))
-    val pregel = StressCentrality.stress(spark.sparkContext,
-      friendEdges ++ spokes, countable = Set(1L, 2L, 3L, 4L))
+    val pregel = stressMapOf(
+      friendEdges ++ spokes, Set(1L, 2L, 3L, 4L))
     assert(pregel == Map(1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
     assert(closedFormFor(friendEdges) == Map(1L -> 0L, 2L -> 2L, 3L -> 0L))
   }
@@ -43,8 +48,8 @@ class StressCentralitySpec extends SparkSuite {
       val friends = friendEdges.flatMap(t => Seq(t._1, t._2)).toSet
       val egoId = -1L // synthetic center id, disjoint from SNAP node ids
       val spokes = friends.toSeq.map(f => (egoId, f))
-      val pregel = StressCentrality.stress(spark.sparkContext,
-        friendEdges ++ spokes, countable = friends)
+      val pregel = stressMapOf(
+        friendEdges ++ spokes, friends)
       val closed = closedFormFor(friendEdges)
       assert(pregel == closed, s"ego $ego: Pregel != closed form")
     }
@@ -60,8 +65,8 @@ class StressCentralitySpec extends SparkSuite {
         if rnd.nextDouble() < 0.25
       } yield (a, b)).toSeq
       val spokes = friends.toSeq.map(f => (0L, f)) // universal "ego" center
-      val pregel = StressCentrality.stress(spark.sparkContext,
-        friendEdges ++ spokes, countable = friends)
+      val pregel = stressMapOf(
+        friendEdges ++ spokes, friends)
       val closed = closedFormFor(friendEdges)
       // Closed form only emits nodes with >=1 friend edge; others are 0.
       friends.foreach { x =>

@@ -62,7 +62,7 @@ class StreamingSpec extends SparkSuite {
 
       val sessions = spark.table(name).filter(col("user_id") === 1)
         .select("session_start", "n_events").collect()
-        .map(r => (new java.sql.Timestamp(r.getLong(0)).toString, r.getInt(1)))
+        .map(r => (new java.sql.Timestamp(r.getLong(0) / 1000L).toString, r.getInt(1))) // µs → ms
         .sorted.toSeq
       assert(sessions == Seq(("2024-01-01 11:45:00.0", 1), ("2024-01-01 12:00:00.0", 2)),
         s"got $sessions")
