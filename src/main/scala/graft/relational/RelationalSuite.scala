@@ -151,6 +151,22 @@ object RelationalSuite {
         "GROUP BY ROLLUP(n_regionkey, n_nationkey) " +
         "ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST")),
 
+    // Arbitrary GROUPING SETS (the explicit form — rollup/cube above are
+    // its fixed shapes): one aggregation pass expanded to the listed sets,
+    // same executor path as q12/q29.
+    QuerySpec("q65_grouping_sets",
+      (s, d) => t(s, d, "nation")
+        .groupingSets(
+          Seq(Seq(col("n_regionkey")), Seq(col("n_nationkey"))),
+          col("n_regionkey"), col("n_nationkey"))
+        .agg(count(lit(1)).as("c"), sum(col("n_nationkey")).as("ksum"))
+        .orderBy(col("n_regionkey").asc_nulls_first,
+          col("n_nationkey").asc_nulls_first),
+      Some("SELECT n_regionkey, n_nationkey, count(*) AS c, " +
+        "CAST(sum(n_nationkey) AS BIGINT) AS ksum FROM nation " +
+        "GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey)) " +
+        "ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST")),
+
     QuerySpec("q13_collect_maxby",
       // max_by over a struct key: (c_acctbal, c_custkey) is a total order, so
       // ties on acctbal alone can never make the result nondeterministic.
@@ -578,6 +594,20 @@ object RelationalSuite {
         "round(quantile_cont(l_quantity, 0.95), 6) AS p95, " +
         "round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // The sketch flavour of q55 — approx_percentile (Greenwald-Khanna
+    // summary, mergeable partials) is the quantile path that survives
+    // scales where exact per-group sorted materialization won't. No cross-
+    // engine oracle (sketch internals differ); the rank-error bound vs the
+    // exact percentile is asserted in RelationalGapsSpec, like q34's HLL.
+    QuerySpec("q66_approx_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95"),
+          expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("price_p25"))
+        .orderBy("l_returnflag"),
+      None),
 
     QuerySpec("q56_reproducible_sample",
       // Deterministic ~10% sample via an md5 hash gate — the reproducible

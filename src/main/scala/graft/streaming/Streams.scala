@@ -26,14 +26,15 @@ object Streams {
   def replayDir(s: SparkSession, sfDir: String, chunks: Int,
       duplicate: Boolean = false): String = {
     val dir = Files.createTempDirectory("graft-replay").toString
+    // Range-partition into time-ordered slices (distributed sampling sort,
+    // one file per slice) — NOT ntile over an unpartitioned window, which
+    // is a single-task global sort. All files land before the stream
+    // starts, so slice boundaries only shape batch composition.
     val ev = Tables(s, sfDir, "events")
-      .withColumn("chunk", ntile(chunks).over(
-        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
-    for (i <- 1 to chunks) {
-      val part = ev.filter(col("chunk") === i).drop("chunk")
-      part.coalesce(1).write.mode("append").parquet(dir)
-      if (duplicate) part.coalesce(1).write.mode("append").parquet(dir)
-    }
+      .repartitionByRange(chunks, col("ts"), col("event_id"))
+      .sortWithinPartitions("ts", "event_id")
+    ev.write.mode("append").parquet(dir)
+    if (duplicate) ev.write.mode("append").parquet(dir)
     dir
   }
 
@@ -79,6 +80,26 @@ object Streams {
       Some("SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start, " +
         "event_type, count(*) AS c FROM events " +
         "GROUP BY window_start, event_type ORDER BY window_start, event_type")),
+
+    // S1b: SLIDING 1-hour window every 15 minutes (overlapping — each
+    // event lands in 4 windows); complete mode ≡ the batch expansion of
+    // each event into its 4 epoch-aligned buckets, which is exactly what
+    // the DuckDB oracle does with a generate_series cross join.
+    QuerySpec("s_sliding_window",
+      (s, d) => withReplay(s, d, duplicate = false) { stream =>
+        runToMemory(s,
+          stream.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("c")),
+          "complete")
+      }.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("c"))
+        .orderBy("window_start", "event_type"),
+      Some("WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events), " +
+        "w AS (SELECT make_timestamp((us // 900000000) * 900000000 - k * 900000000) AS ws, " +
+        "event_type FROM b CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, " +
+        "count(*) AS c FROM w GROUP BY 1, 2 ORDER BY window_start, event_type")),
 
     // S2: per-user session windows (10-minute gap); oracle is the
     // gaps-and-islands batch formulation.

@@ -19,6 +19,31 @@ class RelationalGapsSpec extends SparkSuite {
     }
   }
 
+  test("q66 approx_percentile within rank-error bound of the exact quantile") {
+    // accuracy=1000 bounds the RANK error at n/1000; convert to a value
+    // bound by comparing against exact quantiles at p ± 2/1000.
+    val apx = RelationalSuite.byName("q66_approx_percentiles").run(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val bounds = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.498)").as("p50_lo"),
+        expr("percentile(l_quantity, 0.502)").as("p50_hi"),
+        expr("percentile(l_quantity, 0.948)").as("p95_lo"),
+        expr("percentile(l_quantity, 0.952)").as("p95_hi"),
+        expr("percentile(l_extendedprice, 0.248)").as("p25_lo"),
+        expr("percentile(l_extendedprice, 0.252)").as("p25_hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(apx.keySet == bounds.keySet)
+    bounds.foreach { case (k, (l50, h50, l95, h95, l25, h25)) =>
+      val (p50, p95, p25) = apx(k)
+      assert(p50 >= l50 && p50 <= h50, s"$k p50=$p50 not in [$l50,$h50]")
+      assert(p95 >= l95 && p95 <= h95, s"$k p95=$p95 not in [$l95,$h95]")
+      assert(p25 >= l25 && p25 <= h25, s"$k price_p25=$p25 not in [$l25,$h25]")
+    }
+  }
+
   test("every declared query runs at sf0.001 and respects its schema") {
     graft.SparkEntry.allSpecs.foreach { spec =>
       val df = spec.run(spark, sf)

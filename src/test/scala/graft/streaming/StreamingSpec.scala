@@ -90,6 +90,55 @@ class StreamingSpec extends SparkSuite {
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
+  test("out-of-order chunk replay e2e: custom sessionizer == built-in session_window") {
+    import spark.implicits._
+    // Deliver time-ordered quarters of the real events table in the order
+    // 2,1,4,3 — each swap makes a whole chunk LATE relative to the
+    // watermark set by its successor. Both the custom state machine and
+    // the built-in session_window must drop/merge identically under this
+    // real multi-batch watermark progression (append mode both sides, a
+    // far-future sentinel flushes the final open sessions).
+    val dir = Files.createTempDirectory("graft-ooo-e2e").toString
+    try {
+      val ev = graft.Tables(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id"))).cache()
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
+
+      val custom = StatefulSessions.sessionize(
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)).toDF()
+      val q1 = custom.writeStream.format("memory").queryName("ooo_custom")
+        .outputMode("append").start()
+      val builtin = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val q2 = builtin.writeStream.format("memory").queryName("ooo_builtin")
+        .outputMode("append").start()
+
+      for (i <- Seq(2, 1, 4, 3)) {
+        chunked.filter(col("chunk") === i).select("user_id", "ts")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q1.processAllAvailable(); q2.processAllAvailable()
+      }
+      Seq((-1L, new java.sql.Timestamp(maxTs + 24 * 3600 * 1000L)))
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q1.stop(); q2.stop()
+
+      val customRows = spark.table("ooo_custom").filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("n_events").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val builtinRows = spark.table("ooo_builtin").filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_window.start")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(customRows.nonEmpty)
+      assert(customRows == builtinRows,
+        s"custom-only: ${customRows -- builtinRows}; builtin-only: ${builtinRows -- customRows}")
+    } finally graft.TmpFiles.deleteRecursively(dir)
+  }
+
   test("watermark evicts: late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
