@@ -122,6 +122,36 @@ object DedupSuite {
         docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks")))
         .orderBy("a_id", "b_id"),
-      None)
+      None),
+
+    // Embedding-cosine near-dup dedup: drop every vector with an EARLIER
+    // (lower-id) neighbour at cosine >= threshold, reporting the earliest
+    // such duplicate. The exact pair scan is candidate-bounded (the refine
+    // step); at corpus scale the candidate pairs come out of the LSH/IVF
+    // bucket join (q49/q53) instead of a<b, and this keep-lowest-id policy
+    // is applied unchanged. Counts/min only in the output — no float
+    // hashing. Dot products via the native array_dot expression.
+    QuerySpec("q68_cosine_neardup_dedup",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .filter(expr("array_dot(a.embedding, b.embedding)") /
+            (col("a.nrm") * col("b.nrm")) >= 0.3)
+          .groupBy(col("b.vec_id").as("dropped_id"))
+          .agg(min(col("a.vec_id")).as("dup_of"),
+            count(lit(1)).as("n_earlier_dups"))
+          .orderBy("dropped_id")
+      },
+      Some("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id < 100) " +
+        "SELECT b.vec_id AS dropped_id, min(a.vec_id) AS dup_of, count(*) AS n_earlier_dups " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.3 " +
+        "GROUP BY b.vec_id ORDER BY dropped_id")
+    )
   )
 }

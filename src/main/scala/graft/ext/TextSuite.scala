@@ -133,6 +133,32 @@ object TextSuite {
         "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens " +
         "FROM documents ORDER BY doc_id LIMIT 200")),
 
+    // Rolling-hash document fingerprinting: full-doc polynomial hash plus
+    // the winnowing-style min k-gram (k=8) Rabin–Karp hash. The min-kgram
+    // column runs through the native `rolling_minhash` Expression — ONE
+    // O(n) rolling pass per document inside whole-stage codegen — while
+    // the DuckDB oracle recomputes every window independently (O(n·k))
+    // with identical (base 31, mod 1e9+7) arithmetic; ASCII corpus makes
+    // byte codes and ascii() agree. The poly_hash column doubles as the
+    // HOF-chain cross-check of the same arithmetic (aggregate fold).
+    QuerySpec("q67_rolling_fingerprint",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          expr("aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
+            "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("poly_hash"),
+          expr("rolling_minhash(text, 8)").as("min_kgram"))
+        .orderBy("doc_id").limit(200),
+      Some("SELECT doc_id, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS poly_hash, " +
+        "CASE WHEN length(text) >= 8 THEN list_min(list_transform(" +
+        "generate_series(1, length(text) - 7), i -> " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split_regex(substr(text, i, 8), ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007))) END AS min_kgram " +
+        "FROM documents ORDER BY doc_id LIMIT 200")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).

@@ -82,5 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "array_dot takes exactly two arguments")
         ArrayDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_minhash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "rolling_minhash takes exactly two arguments")
+        RollingMinHash(children.head, children(1))
+      }))
   }
 }
