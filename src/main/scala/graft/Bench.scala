@@ -9,6 +9,16 @@ import org.apache.spark.sql.DataFrame
   * drop ORDER BY / projection work, a noop write materializes every output
   * row without any sink I/O.
   *
+  * Contention forensics (round-3 lesson: BENCH_r03 recorded 68.4 s under
+  * concurrent machine load vs 39.7 s on a quiet host, with no code change):
+  *   - every query's 5 raw run times and their min are emitted alongside
+  *     the median, so a contaminated round is diagnosable from the artifact
+  *     (median >> min on unchanged plans = external load, not a plan change);
+  *   - a fixed calibration sentinel (the cheapest stable query) is re-timed
+  *     at the start, middle, and end of the timed phase; `sentinel_spread`
+  *     (max/min of those three) > ~2 flags that machine conditions shifted
+  *     DURING the run and the totals should not be read as a regression.
+  *
   * Failures are NOT swallowed: a failing query records -1 and the process
   * exits nonzero. The result JSON is printed as the line after the
   * `GRAFT_BENCH_JSON` marker AND written to `bench_out.json`.
@@ -49,18 +59,47 @@ object Bench {
     // Warm-up pass: absorbs JVM/codegen/parquet-footer warm-up so the timed
     // runs measure steady state.
     names.foreach(timeOne(_, timed = false))
-    val times = names.map { n =>
+
+    // Calibration sentinel: a fixed cheap query re-timed at three points of
+    // the timed phase. Its own timed measurement below is unaffected — these
+    // extra runs only probe machine conditions.
+    val sentinelName = "q01_filter_agg"
+    def sentinelRun(): Double = timeOne(sentinelName, timed = false)
+
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    sentinelTimes += sentinelRun()
+    val mid = names.size / 2
+    val raw = names.zipWithIndex.map { case (n, i) =>
+      if (i == mid) sentinelTimes += sentinelRun()
+      val runs = (1 to 5).map(_ => timeOne(n, timed = true))
+      n -> runs
+    }
+    sentinelTimes += sentinelRun()
+
+    val times = raw.map { case (n, runs) =>
       // Median over SUCCESSFUL runs only: -1 sentinels sorting to the
       // front would otherwise pick an optimistic percentile of the
       // survivors. Fewer than 3 clean runs -> no defensible median.
-      val runs = (1 to 5).map(_ => timeOne(n, timed = true)).filter(_ >= 0).sorted
-      n -> (if (runs.size >= 3) runs(runs.size / 2) else -1.0)
+      val ok = runs.filter(_ >= 0).sorted
+      n -> (if (ok.size >= 3) ok(ok.size / 2) else -1.0)
     }
 
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(d: Double): String = "%.4f".format(d)
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val mins = raw.map { case (k, runs) =>
+      val ok = runs.filter(_ >= 0)
+      "\"" + k + "\":" + fmt(if (ok.nonEmpty) ok.min else -1.0)
+    }.mkString("{", ",", "}")
+    val allRuns = raw.map { case (k, runs) =>
+      "\"" + k + "\":[" + runs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = times.map(_._2).filter(_ >= 0).sum
+    val sentOk = sentinelTimes.filter(_ >= 0)
+    val spread = if (sentOk.size == 3 && sentOk.min > 0) sentOk.max / sentOk.min else -1.0
+    val sentinel =
+      s"""{"query":"$sentinelName","times":[${sentOk.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
     val json =
-      s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"warmup+median-of-5","failed":${failed.size}}"""
+      s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"warmup+median-of-5","failed":${failed.size},"queries_min":$mins,"runs":$allRuns,"sentinel":$sentinel}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     println("GRAFT_BENCH_JSON")
     println(json)
