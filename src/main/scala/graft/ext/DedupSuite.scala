@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.graphx.Graph
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,6 +48,32 @@ object DedupSuite {
         col("datasetB.doc_id").as("b_id"),
         round(col("dist"), 6).as("dist"))
       .filter(col("a_id") < col("b_id"))
+  }
+
+  /** End-to-end dedup: near-dup PAIRS become duplicate CLUSTERS with one
+    * canonical survivor each. A≈B and B≈C must drop B AND C even when
+    * A≉C directly — pair lists alone under-delete — so the banded MinHash
+    * pairs are fed to GraphX ConnectedComponents (label = min member id)
+    * and each component keeps its lowest doc_id.
+    *
+    * 100 TB shape: the edge list is the LSH bucket join's output (linear
+    * in candidate pairs, never all-pairs), CC is the same iterative
+    * executor-side job as g08 (no driver collect — the pair DataFrame's
+    * row RDD maps straight to edge tuples), and the final keep-list is
+    * one groupBy on the component label. */
+  def dedupClusters(s: SparkSession, d: String, distThreshold: Double,
+      docs: DataFrame = null): DataFrame = {
+    import s.implicits._
+    val edges = minhashPairs(s, d, distThreshold, docs)
+      .select("a_id", "b_id").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // CC messages flow along both triplet directions, so ONE tuple per
+    // undirected pair suffices.
+    Graph.fromEdgeTuples(edges, ()).connectedComponents().vertices
+      .toDF("doc_id", "cluster_id")
+      .groupBy("cluster_id")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -122,6 +149,16 @@ object DedupSuite {
         docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks")))
         .orderBy("a_id", "b_id"),
+      None),
+
+    // Pairs -> transitive clusters -> keep-list: what a pipeline actually
+    // drops. Approximate upstream (MinHash), so no SQL oracle; the planted
+    // A≈B≈C chain property (one cluster, lowest id kept, even with A≉C)
+    // is asserted in DedupSpec.
+    QuerySpec("q69_dedup_clusters",
+      (s, d) => dedupClusters(s, d, distThreshold = 0.3,
+        docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))),
       None),
 
     // Embedding-cosine near-dup dedup: drop every vector with an EARLIER

@@ -42,6 +42,32 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dedup clusters: planted A≈B≈C chain collapses to ONE cluster keeping the lowest id") {
+    import spark.implicits._
+    // Sliding 12-token windows over a 16-word vocabulary:
+    //   A = w1..w12, B = w3..w14, C = w5..w16
+    // J(A,B) = J(B,C) = 10/14 ≈ 0.714 (inside the 0.3-distance threshold),
+    // J(A,C) = 8/16 = 0.5 (outside). Only the transitive closure links A
+    // to C — a pair list would keep C's cluster split.
+    val words = (1 to 16).map(i => s"w$i")
+    val docs = Seq(
+      (11L, words.slice(0, 12)),
+      (12L, words.slice(2, 14)),
+      (13L, words.slice(4, 16))).toDF("doc_id", "toks")
+
+    val pairs = DedupSuite.minhashPairs(spark, sf, 0.3, docs = docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((11L, 12L)) && pairs.contains((12L, 13L)),
+      s"chain links missing from $pairs")
+    assert(!pairs.contains((11L, 13L)),
+      "A-C must be OUTSIDE the pair threshold for the chain to be a real transitivity test")
+
+    val clusters = DedupSuite.dedupClusters(spark, sf, 0.3, docs = docs).collect()
+    assert(clusters.length == 1, s"expected one cluster, got ${clusters.toSeq}")
+    assert(clusters.head.getAs[Long]("keep_id") == 11L)
+    assert(clusters.head.getAs[Long]("n_members") == 3L)
+  }
+
   test("exact dedup groups: fingerprint grouping finds planted exact copies") {
     import spark.implicits._
     val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")

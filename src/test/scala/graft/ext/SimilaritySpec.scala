@@ -33,6 +33,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall@10 = $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("batch ANN mean recall@10 >= 0.6 over >= 20 probes vs exact cosine top-10") {
+    import spark.implicits._
+    val probes = (0L until 25L)
+    val approx = SimilaritySuite.annBatchTopK(spark, sf, k = 10, probeLimit = 25L)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Exact top-10 per probe by cosine over the whole corpus (small at
+    // sf0.001 — brute force IS the oracle here).
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.toMap
+    val recalls = probes.map { p =>
+      val exact = vecs.filter(_._1 != p)
+        .sortBy { case (id, v) => (-cos(byId(p), v), id) }.take(10).map(_._1).toSet
+      exact.count(approx.getOrElse(p, Set.empty).contains).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 = $mean over ${recalls.size} probes")
+  }
+
   test("exact cosine pairs are symmetric-clean: a_id < b_id, cos in [-1,1]") {
     val rows = SimilaritySuite.specs.find(_.name == "q47_cosine_pairs").get
       .run(spark, sf).collect()
