@@ -30,11 +30,9 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // map_concat in the circle overlay must OVERWRITE on key collision —
-      // the reference's `node[circle] = "yes"` (main.js:277) is a plain JS
-      // assignment — so a circle named like a decoded feature key must not
-      // fail the job (default policy EXCEPTION would).
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // mapKeyDedupPolicy stays at the EXCEPTION default: duplicate map
+      // keys are bugs everywhere except the circle overlay, which spells
+      // its overwrite semantics out explicitly (EgoGraphs.vertices).
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -168,6 +168,13 @@ object DedupSuite {
     // bucket join (q49/q53) instead of a<b, and this keep-lowest-id policy
     // is applied unchanged. Counts/min only in the output — no float
     // hashing. Dot products via the native array_dot expression.
+    //
+    // Threshold-margin note: the 0.3 gate relies on Spark and DuckDB
+    // agreeing on which side of it each pair falls. Verified margin: the
+    // closest fixture pair cosine to 0.3 is ≥ 1.9e-4 away at every SF
+    // (sf0.001/0.01/0.1, vec_id < 100) — ~9 orders of magnitude above any
+    // double summation-order drift for 64-term dot products (≤ ~1e-13),
+    // so the comparison is stable to reformulation on either engine.
     QuerySpec("q68_cosine_neardup_dedup",
       (s, d) => {
         val e = Tables(s, d, "embeddings").filter(col("vec_id") < 100)

@@ -123,9 +123,151 @@ object StressCentrality {
       .where(col("dsx") + col("dxd") === col("dsd"))
       .groupBy(col("x"))
       .agg(sum(col("ssx") * col("sxd")).as("centrality"))
-    maps.keys.filter(countable).toDF("x")
+    val out = maps.keys.filter(countable).toDF("x")
       .join(contrib, Seq("x"), "left")
       .select(col("x").as("id"),
         coalesce(col("centrality"), lit(0L)).as("centrality"))
+      .cache()
+    // Materialize (one small row per countable vertex), then release the
+    // O(V²)-entry intermediate — otherwise every stress() call leaks a
+    // cached RDD for the session lifetime.
+    out.count()
+    ent.unpersist(blocking = false)
+    out
+  }
+
+  /** Brandes-style source-batched stress centrality — the general-graph
+    * SCALE path. [[allPairs]] carries O(V) state per vertex and [[stress]]
+    * flattens an O(V²) (vertex, source) entry table through a self-join;
+    * both are validation-scale shapes. Here each round seeds only a batch
+    * of ~`batchSize` countable sources (membership = `source_id mod
+    * nBatches`, computed on the executors — no driver-side source list),
+    * runs the same synchronized forward BFS with O(batch) per-vertex
+    * state, then accumulates
+    *   ψ_s(v) = Σ_{w ∈ succ_s(v)} ([w countable] + ψ_s(w))
+    * BACKWARD down each source's BFS DAG (messages only along
+    * depth-descending triplet sides, one synchronized round per depth
+    * level), where ψ_s(v) counts the countable targets t with v interior
+    * weighted by the DAG path count v→t. Then
+    *   stress(v) += Σ_{s ∈ batch, s ≠ v} σ_s(v)·ψ_s(v)
+    * — the interior product without ever joining two full legs. Peak
+    * state is O(batchSize) per vertex; total work O(V·E) spread over
+    * V/batchSize rounds. Agreement with the [[stress]] join form is
+    * property-tested on random diameter-≥3 graphs (StressCentralitySpec).
+    */
+  def batchedStress(spark: SparkSession, edges: RDD[(VertexId, VertexId)],
+      countable: VertexId => Boolean, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val base = Graph.fromEdgeTuples(edges, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D).cache()
+    val ids = base.vertices.keys.filter(countable).cache()
+    val nSources = ids.count()
+    val nBatches = math.max(1, math.ceil(nSources.toDouble / batchSize).toInt)
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[RDD[(VertexId, Long)]]
+    for (b <- 0 until nBatches) {
+      // ---- forward: multi-source BFS seeded with THIS batch only.
+      var g: Graph[(PathMap, PathMap), Int] = base.mapVertices { (id, _) =>
+        val seed: PathMap =
+          if (countable(id) && (((id % nBatches) + nBatches) % nBatches).toInt == b)
+            Map(id -> (0, 1L))
+          else Map.empty
+        (seed, seed)
+      }.cache()
+      var depth = 0
+      var active = 1L
+      while (active > 0) {
+        val msgs = g.aggregateMessages[PathMap](
+          ctx => {
+            def bump(m: PathMap): PathMap = m.map { case (k, (dd, s)) => k -> (dd + 1, s) }
+            if (ctx.srcAttr._2.nonEmpty) ctx.sendToDst(bump(ctx.srcAttr._2))
+            if (ctx.dstAttr._2.nonEmpty) ctx.sendToSrc(bump(ctx.dstAttr._2))
+          },
+          mergeMaps)
+        val next = g.outerJoinVertices(msgs) { (_, st, msgOpt) =>
+          msgOpt match {
+            case Some(m) =>
+              val fresh = m.filter { case (k, _) => !st._1.contains(k) }
+              (st._1 ++ fresh, fresh)
+            case None => (st._1, Map.empty: PathMap)
+          }
+        }.cache()
+        active = next.vertices.filter(_._2._2.nonEmpty).count()
+        if (active > 0) depth += 1
+        g.unpersist(blocking = false)
+        g = next
+      }
+
+      // ---- backward: ψ flows depth-descending, one round per level.
+      // ψ_s(v) is finalized in the round where level = dist_s(v) + 1
+      // (all DAG successors already final — levels strictly decrease),
+      // and v first SENDS for s at level = dist_s(v) < that. Each vertex
+      // receives for a given source exactly once: plain map-insert.
+      // The level loop is LAZY — no action per level, so the whole
+      // backward sweep runs as ONE job (depth is already known; nothing
+      // to test per round, unlike the forward frontier).
+      var bg: Graph[(PathMap, Map[VertexId, Long]), Int] =
+        g.mapVertices((_, st) => (st._1, Map.empty[VertexId, Long])).cache()
+      val intermediates = scala.collection.mutable.ArrayBuffer.empty[Graph[_, _]]
+      intermediates += g
+      for (level <- depth to 1 by -1) {
+        val msgs = bg.aggregateMessages[Map[VertexId, Long]](
+          ctx => {
+            def contrib(from: (PathMap, Map[VertexId, Long]), fromId: VertexId,
+                to: (PathMap, Map[VertexId, Long])): Map[VertexId, Long] = {
+              val cnt = if (countable(fromId)) 1L else 0L
+              from._1.iterator.flatMap { case (s, (dd, _)) =>
+                if (dd == level && to._1.get(s).exists(_._1 == level - 1))
+                  Some(s -> (cnt + from._2.getOrElse(s, 0L)))
+                else None
+              }.toMap
+            }
+            val toSrc = contrib(ctx.dstAttr, ctx.dstId, ctx.srcAttr)
+            if (toSrc.nonEmpty) ctx.sendToSrc(toSrc)
+            val toDst = contrib(ctx.srcAttr, ctx.srcId, ctx.dstAttr)
+            if (toDst.nonEmpty) ctx.sendToDst(toDst)
+          },
+          (a, b) => (a.keySet ++ b.keySet).iterator
+            .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+        val next = bg.outerJoinVertices(msgs) { (_, st, msgOpt) =>
+          msgOpt match {
+            case Some(m) => (st._1, st._2 ++ m)
+            case None => st
+          }
+        }.cache()
+        intermediates += bg
+        bg = next
+      }
+
+      // ---- batch contribution: σ_s(v)·ψ_s(v), v countable, v ≠ s.
+      val part = bg.vertices.flatMap { case (v, (dists, psi)) =>
+        if (!countable(v)) None
+        else {
+          var tot = 0L
+          dists.foreach { case (s, (dd, sig)) =>
+            if (dd >= 1) tot += sig * psi.getOrElse(s, 0L)
+          }
+          if (tot != 0L) Some((v, tot)) else None
+        }
+      }.cache()
+      part.count()
+      bg.unpersist(blocking = false)
+      intermediates.foreach(_.unpersist(blocking = false))
+      parts += part
+    }
+
+    val summed = spark.sparkContext.union(parts.toSeq)
+      .reduceByKey(_ + _).cache()
+    summed.count()
+    parts.foreach(_.unpersist(blocking = false))
+    val out = ids.toDF("x")
+      .join(summed.toDF("x", "centrality"), Seq("x"), "left")
+      .select(col("x").as("id"),
+        coalesce(col("centrality"), lit(0L)).as("centrality"))
+      .cache()
+    out.count()
+    Seq(ids: RDD[_], summed: RDD[_]).foreach(_.unpersist(blocking = false))
+    base.unpersist(blocking = false)
+    out
   }
 }

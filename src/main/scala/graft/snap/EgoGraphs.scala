@@ -104,10 +104,18 @@ object EgoGraphs {
     val vertices = names
       .join(props.withColumnRenamed("node", "name"), Seq("ego", "name"), "left_outer")
       .join(memberCircles.withColumnRenamed("node", "name"), Seq("ego", "name"), "left_outer")
+      .withColumn("base_props", coalesce(col("properties"), emptyMap))
+      .withColumn("overlay", coalesce(col("circle_props"), emptyMap))
+      // A circle named like a decoded feature key OVERWRITES it (the
+      // reference's plain JS assignment, main.js:277). Spelled out as
+      // filter-then-concat so the query is self-contained under the
+      // session-default mapKeyDedupPolicy=EXCEPTION — a global LAST_WIN
+      // override would silently last-win genuine duplicate-key bugs in
+      // every OTHER map-building query.
       .select(col("ego"), col("name"), col("is_ego"),
         map_concat(
-          coalesce(col("properties"), emptyMap),
-          coalesce(col("circle_props"), emptyMap)).as("properties"),
+          expr("map_filter(base_props, (k, v) -> NOT map_contains_key(overlay, k))"),
+          col("overlay")).as("properties"),
         coalesce(col("circles"), expr("array()").cast("array<string>")).as("circles"))
       .cache()
 

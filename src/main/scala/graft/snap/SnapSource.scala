@@ -33,12 +33,14 @@ object SnapSource {
   def edges(spark: SparkSession, dataDir: String): DataFrame = {
     // split-and-index, exactly the reference's `pair = line.split(' ');
     // pair[0], pair[1]` (main.js:246-247) — a trailing-whitespace or
-    // >2-token line must yield the SECOND token, not the last.
+    // >2-token line must yield the SECOND token, not the last, and a
+    // short line must yield NULL like the JS undefined, not an ANSI
+    // INVALID_ARRAY_INDEX crash (`get` is 0-based and null-on-OOB).
     val parts = split(col("line"), " ")
     lines(spark, dataDir, "edges")
       .select(col("ego"), col("line_no"),
-        element_at(parts, 1).as("src"),
-        element_at(parts, 2).as("dst"))
+        get(parts, lit(0)).as("src"),
+        get(parts, lit(1)).as("dst"))
   }
 
   /** (ego, idx, key, value): split at FIRST space; key = full name up to

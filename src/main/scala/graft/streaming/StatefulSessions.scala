@@ -29,11 +29,11 @@ object StatefulSessions {
   // session_window (and the DuckDB oracle) compare gaps at µs precision,
   // so an event pair straddling the gap boundary within 1 ms must not
   // merge here while splitting there.
-  private val GapUs = 10 * 60 * 1000000L
+  private[streaming] val GapUs = 10 * 60 * 1000000L
 
   /** Microseconds since epoch of a Timestamp (getTime alone truncates to
     * ms; the sub-ms part lives in getNanos, which also repeats the ms). */
-  private def micros(ts: java.sql.Timestamp): Long =
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
   /** Insert one event, then re-normalize: sort by start and merge every
@@ -86,15 +86,22 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
-  /** Replay `events` through the stateful sessionizer with a final
+  /** Replay `events` through a stateful sessionizer with a final
     * far-future flush event (advances the watermark so every open session
-    * times out and emits) and return the closed sessions. */
-  def run(s: SparkSession, sfDir: String): DataFrame = {
+    * times out and emits) and return the closed sessions. Shared by the
+    * flatMapGroupsWithState and transformWithState implementations. */
+  private[streaming] def runWith(s: SparkSession, sfDir: String)(
+      sessionizeFn: DataFrame => Dataset[Session]): DataFrame = {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sessions").toString
     try {
       val ev = graft.Tables(s, sfDir, "events").select("user_id", "ts")
-      ev.coalesce(1).write.mode("append").parquet(dir)
+      // Multi-task replay write: range-partitioned time-ordered chunks
+      // (same shape as Streams.replayDir), not a single-task coalesce(1)
+      // funnel of the whole table.
+      ev.repartitionByRange(8, col("ts"), col("user_id"))
+        .sortWithinPartitions("ts", "user_id")
+        .write.mode("append").parquet(dir)
       // Flush chunk: one sentinel event far past max(ts) + gap + watermark,
       // on a key that is filtered back out of the results.
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
@@ -102,7 +109,7 @@ object StatefulSessions {
         .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
 
       val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)
-      Streams.runToMemory(s, sessionize(stream).toDF(), "append")
+      Streams.runToMemory(s, sessionizeFn(stream).toDF(), "append")
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
           date_format(timestamp_micros(col("session_start")), "yyyy-MM-dd HH:mm:ss")
@@ -111,4 +118,7 @@ object StatefulSessions {
         .orderBy("user_id", "session_start")
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
+
+  def run(s: SparkSession, sfDir: String): DataFrame =
+    runWith(s, sfDir)(sessionize)
 }

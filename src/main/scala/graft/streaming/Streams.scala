@@ -139,6 +139,22 @@ object Streams {
         "count(*) AS n_events FROM m GROUP BY user_id, sess " +
         "ORDER BY user_id, session_start")),
 
+    // S2c: identical semantics through transformWithState (the Spark 4
+    // successor API: named state + explicit timers + RocksDB store) —
+    // gated by the same oracle as S2b, so the two arbitrary-state APIs
+    // must agree with each other AND the batch formulation.
+    QuerySpec("s_tws_sessions",
+      (s, d) => TransformSessions.run(s, d),
+      Some("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events), " +
+        "m AS (SELECT user_id, ts, sum(CASE WHEN prev IS NULL " +
+        "OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) " +
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "count(*) AS n_events FROM m GROUP BY user_id, sess " +
+        "ORDER BY user_id, session_start")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.

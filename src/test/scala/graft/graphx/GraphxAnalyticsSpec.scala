@@ -50,11 +50,19 @@ class GraphxAnalyticsSpec extends SparkSuite {
     // main graphx/snap sources (test specs and the golden sink, whose
     // ≤1k-line per-ego outputs are licensed driver collects, live
     // elsewhere).
+    // Locate the repo root by walking up from the test JVM's working
+    // directory to the nearest build.sbt — cwd-independent (forked tests
+    // and IDE runners don't start at the repo root).
+    def findRoot(dir: java.io.File): java.io.File =
+      if (new java.io.File(dir, "build.sbt").exists()) dir
+      else Option(dir.getParentFile).map(findRoot)
+        .getOrElse(fail("no build.sbt above " + sys.props("user.dir")))
+    val root = findRoot(new java.io.File(sys.props("user.dir")).getAbsoluteFile)
     val guarded = Seq("graphx/GraphxAnalytics.scala", "graphx/StressCentrality.scala",
       "snap/GraphSuite.scala", "snap/GraphAnalytics.scala", "snap/EgoGraphs.scala")
     for (f <- guarded) {
       val src = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"src/main/scala/graft/$f")))
+        new java.io.File(root, s"src/main/scala/graft/$f").toPath))
       assert(!src.contains(".collect()"), s"$f contains a driver-side collect")
     }
   }

@@ -75,6 +75,34 @@ class StressCentralitySpec extends SparkSuite {
     }
   }
 
+  test("batched Brandes == all-pairs join form on random diameter-≥3 graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(15)
+      val core = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.12
+      } yield (a, b)
+      // A pendant 3-path guarantees diameter >= 3 (the closed form would
+      // be wrong here — this exercises the general-graph path).
+      val tail = Seq((1L, n + 1L), (n + 1L, n + 2L), (n + 2L, n + 3L))
+      val all = (core ++ tail).distinct
+      // One non-countable vertex that can still be interior: batched ψ
+      // must traverse it but never count it as endpoint or scorer.
+      val countable = (1L to n + 3L).toSet - 2L
+      // 2 partitions: toy graphs with default parallelism would schedule
+      // 32 near-empty tasks per BFS round × batches — minutes of pure
+      // scheduler overhead for milliseconds of work.
+      val edgeRdd = spark.sparkContext.parallelize(all, 2)
+      val joinForm = StressCentrality.stress(spark, edgeRdd, countable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batched = StressCentrality.batchedStress(spark, edgeRdd, countable,
+          batchSize = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batched == joinForm, s"trial $trial (n=$n)")
+    }
+  }
+
   test("clustering properties: cc in [0,1]; clique => cc = 1") {
     import spark.implicits._
     // 4-clique among friends of one ego: every neighbourhood closed.
