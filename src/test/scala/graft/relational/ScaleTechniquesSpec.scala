@@ -54,6 +54,52 @@ class ScaleTechniquesSpec extends SparkSuite {
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
+  test("dim-filtered join prunes fact partitions DYNAMICALLY (DPP in the plan)") {
+    // The last free-Catalyst scale lever: a partitioned fact joined to a
+    // filtered dim must push the dim's surviving keys into the fact SCAN
+    // at runtime (via the reused broadcast), not read all partitions and
+    // filter post-join. At 100 TB this is the difference between scanning
+    // 2/5 of the fact and scanning all of it.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    try {
+      Tables(spark, sf, "events")
+        .withColumn("etype", col("event_type"))
+        .write.mode("overwrite").partitionBy("etype").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // The dim must be a REAL source relation (a Seq-backed LocalRelation
+      // gets its filter constant-folded away at optimize time) and the
+      // predicate must be one the rule deems LIKELY SELECTIVE — an
+      // attribute = literal comparison qualifies; a bare boolean column
+      // (after `x = true` simplification) does not.
+      Seq(("click", "hot"), ("view", "hot"), ("error", "cold"),
+        ("purchase", "cold"), ("signup", "cold")).toDF("d_type", "tier")
+        .write.mode("overwrite").parquet(s"$dir-dim")
+      val dim = spark.read.parquet(s"$dir-dim")
+      // The tiny in-memory dim has no column stats for `flagged`, so the
+      // stats-based benefit estimate sees 5 surviving keys out of 5
+      // partitions and declines DPP; the fallback ratio path is how a
+      // stats-less dim is costed in production too.
+      val prevUseStats =
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      try {
+        val joined = fact.join(dim, col("etype") === col("d_type"))
+          .filter(col("tier") === "hot")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("dynamicpruningexpression"),
+          s"expected runtime partition pruning in:\n$plan")
+        val expected = Tables(spark, sf, "events")
+          .filter(col("event_type").isin("click", "view")).count()
+        assert(joined.count() == expected)
+      } finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", prevUseStats)
+    } finally {
+      graft.TmpFiles.deleteRecursively(dir)
+      graft.TmpFiles.deleteRecursively(s"$dir-dim")
+    }
+  }
+
   test("salted two-phase aggregation == direct aggregation (skew-safe form)") {
     // Phase 1 fans a hot key across 16 salt buckets (partial agg), phase 2
     // combines — exact for algebraic aggregates, and the manual form of

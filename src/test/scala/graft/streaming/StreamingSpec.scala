@@ -139,6 +139,49 @@ class StreamingSpec extends SparkSuite {
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
+  test("sliding windows: late rows beyond the watermark are dropped (update mode)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late-slide").toString
+    try {
+      val base = (0 until 6).flatMap(h =>
+        (0 until 4).map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:10:0$i%d"), "click")))
+      base.toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING").parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val name = "late_slide_sink"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      q.processAllAvailable()
+      // Second delivery: one LATE row (00:20, behind watermark 04:10 —
+      // every sliding window containing it has closed) and one on-time
+      // row (06:10).
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 06:10:00"), "click"))
+        .toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.stop()
+
+      // Update-mode memory sink accumulates one row per (window, batch)
+      // CHANGE, so a leaked late row would show as a second emission with
+      // a bumped count for an already-final window.
+      val rows = spark.table(name)
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // Windows containing 00:20: 23:30/23:45/00:00 hold only the four
+      // 00:10 events; 00:15 holds the four 01:10 events. A leak would
+      // re-emit any of them with count 5.
+      for (w <- Seq("23:30", "23:45", "00:00", "00:15"))
+        assert(rows.filter(_._1 == w) == Seq((w, 4L)),
+          s"late row re-emitted window $w: $rows")
+      // The on-time row lands normally in its four overlapping windows.
+      for (w <- Seq("05:15", "05:30", "05:45", "06:00"))
+        assert(rows.filter(_._1 == w) == Seq((w, 1L)), s"$w missing: $rows")
+    } finally graft.TmpFiles.deleteRecursively(dir)
+  }
+
   test("watermark evicts: late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
