@@ -37,4 +37,10 @@ class PlanSpec extends SparkSuite {
   test("q20 dedup is a hash aggregate, not a sort-based distinct") {
     assert(plan("q20_dedup").contains("HashAggregate"))
   }
+
+  test("q70 batch ANN: candidates come from a bucket equi-join, never a cartesian") {
+    val p = plan("q70_ann_batch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch ANN must join on bucket keys:\n$p")
+  }
 }
