@@ -33,9 +33,9 @@ object Bench {
 
     // Excluded from the timed set: streaming queries (they measure
     // micro-batch trigger latency over a temp-dir file replay, not engine
-    // throughput) and g07 (a driver-side dual-implementation validation
-    // gate, not an engine plan).
-    val excluded = Set("g07_centrality_pregel")
+    // throughput) and g07/g10 (dual-implementation validation gates —
+    // many tiny iterative jobs on toy graphs, not engine plans).
+    val excluded = Set("g07_centrality_pregel", "g10_centrality_batched")
     val names = SparkEntry.queries.keys.toSeq
       .filterNot(_.startsWith("s_")).filterNot(excluded).sorted
     // Distinct queries that failed during a TIMED run; warm-up failures are

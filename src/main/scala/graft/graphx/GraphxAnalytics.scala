@@ -59,13 +59,24 @@ object GraphxAnalytics {
       .partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
-  /** Stress centrality (g07) over the composite union graph G⁺ of the
+  /** Stress centrality (g07/g10) over the composite union graph G⁺ of the
     * given egos, distributed end-to-end: edge build, BFS path counting and
     * the σ-combination all stay on the executors. Ego centers are interior
-    * but never counted (the reference counts friends only). */
-  def egoStress(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
+    * but never counted (the reference counts friends only).
+    *
+    * `batchSize = Some(b)` routes through the Brandes-style source-batched
+    * implementation (O(b) per-vertex state — the general-graph scale path)
+    * instead of the all-pairs join form; both are gated by the same
+    * closed-form oracle. */
+  def egoStress(s: SparkSession, dataDir: String, egos: Seq[String],
+      batchSize: Option[Int] = None): DataFrame = {
     val edges = compositeEdges(s, dataDir, egos, withEgoCenter = true)
-    StressCentrality.stress(s, edges, vid => vid % Offset != Offset - 1)
+    val countable = (vid: VertexId) => vid % Offset != Offset - 1
+    val raw = batchSize match {
+      case Some(b) => StressCentrality.batchedStress(s, edges, countable, b)
+      case None => StressCentrality.stress(s, edges, countable)
+    }
+    raw
       .select(element_at(typedLit(egos), expr(s"CAST(id div $Offset AS INT)") + 1).as("ego"),
         (col("id") % Offset).cast("string").as("name"), col("centrality"))
       .orderBy("ego", "name")

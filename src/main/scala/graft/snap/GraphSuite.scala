@@ -161,6 +161,20 @@ object GraphSuite {
         "FROM deg LEFT JOIN eff ON deg.ego = eff.ego AND deg.name = eff.name " +
         "WHERE deg.ego IN ('3980', '698', '414') ORDER BY ego, name")),
 
+    // O18 via the THIRD independent implementation — the Brandes-style
+    // source-batched BFS (O(batch) per-vertex state, the general-graph
+    // scale path) — against the same closed-form oracle: closed form,
+    // all-pairs join form (g07) and batched accumulation (g10) must all
+    // agree on real data under the driver's gate.
+    QuerySpec("g10_centrality_batched",
+      (s, _) => graft.graphx.GraphxAnalytics.egoStress(
+        s, dataDir, Seq("3980", "698"), batchSize = Some(48)),
+      Some(s"WITH $duckEdges, $duckCanonical " +
+        "SELECT deg.ego AS ego, deg.name AS name, " +
+        "CAST(2 * (deg.deg * (deg.deg - 1) / 2 - coalesce(eff.eff, 0)) AS BIGINT) AS centrality " +
+        "FROM deg LEFT JOIN eff ON deg.ego = eff.ego AND deg.name = eff.name " +
+        "WHERE deg.ego IN ('3980', '698') ORDER BY ego, name")),
+
     // Row 45 stretch: GraphX ConnectedComponents on the friend-only
     // graphs (non-trivial without the ego hub). Oracle: DuckDB recursive
     // reachability closure — restricted to the five small egos because
