@@ -169,6 +169,79 @@ object TextSuite {
         .orderBy("doc_id").limit(200),
       Some("SELECT doc_id, md5(text) AS digest, " +
         "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp64 " +
-        "FROM documents ORDER BY doc_id LIMIT 200"))
+        "FROM documents ORDER BY doc_id LIMIT 200")),
+
+    // Concat-and-chunk sequence packing — the GPT-pretraining layout:
+    // documents are concatenated in doc_id order and sliced into
+    // fixed-budget context windows. Each doc's token span is a window
+    // over the exclusive prefix sum (one pass, one window sort — at
+    // corpus scale this runs per shard with shard-offset rebasing, the
+    // same arithmetic). Emits where each doc lands: first window, offset
+    // within it, and how many windows it straddles.
+    QuerySpec("q72_sequence_packing",
+      (s, d) => {
+        val budget = 2048L
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").cast("bigint").as("n_tok"))
+          .withColumn("tok_start", coalesce(sum("n_tok").over(w), lit(0L)))
+          .select(col("doc_id"), col("n_tok"), col("tok_start"),
+            (col("tok_start") / budget).cast("bigint").as("first_window"),
+            (col("tok_start") % budget).as("window_offset"),
+            (((col("tok_start") + col("n_tok") - 1) / budget).cast("bigint")
+              - (col("tok_start") / budget).cast("bigint") + 1).as("windows_spanned"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM t) " +
+        "SELECT doc_id, n_tok, tok_start, " +
+        "tok_start // 2048 AS first_window, tok_start % 2048 AS window_offset, " +
+        "(tok_start + n_tok - 1) // 2048 - tok_start // 2048 + 1 AS windows_spanned " +
+        "FROM p ORDER BY doc_id")),
+
+    // Eval-set decontamination — the industry shape: hash every n-gram
+    // shingle of train and eval docs, join train against eval on the
+    // hash, report per-train-doc contamination (distinct shared shingles
+    // + which eval docs). The join is keyed on the 60-bit shingle
+    // fingerprint — at 100 TB the eval side is tiny and broadcasts; no
+    // text ever crosses the shuffle. n = 3 here: real pipelines use
+    // 8-13-gram shingles, but the fixture's short random-word docs share
+    // no 5-gram across the split at any SF (verified), and the operator
+    // shape is n-independent.
+    QuerySpec("q73_contamination",
+      (s, d) => {
+        // Tokenize ONCE, then shingle — the transform lambda must not
+        // re-split the text per position.
+        val grams = Tables(s, d, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, greatest(size(tk) - 2, 0)), " +
+              "i -> CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, 3))), 1, 15), 16, 10) AS BIGINT))"))
+            .as("h"))
+          .distinct()
+        val eval_ = grams.filter(col("doc_id") >= 190)
+          .select(col("doc_id").as("eval_id"), col("h"))
+        grams.filter(col("doc_id") >= 10 && col("doc_id") < 190).as("t")
+          .join(broadcast(eval_), "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("shared_grams"),
+            array_sort(collect_set(col("eval_id"))).as("eval_ids"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk " +
+        "FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(concat_ws(' ', " +
+        "tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i FROM toks)) " +
+        "SELECT t.doc_id AS doc_id, count(DISTINCT t.h) AS shared_grams, " +
+        "list_sort(list(DISTINCT e.doc_id)) AS eval_ids " +
+        "FROM g t JOIN g e ON t.h = e.h AND t.doc_id >= 10 AND t.doc_id < 190 " +
+        "AND e.doc_id >= 190 GROUP BY t.doc_id ORDER BY doc_id"))
   )
 }

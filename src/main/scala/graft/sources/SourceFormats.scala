@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** Source-format coverage beyond parquet and SNAP text: CSV (with header,
-  * schema'd read) and JSON-lines, exercised as write→read round trips
-  * whose results must equal the parquet originals — so the oracle is just
-  * the parquet-table SQL and the round trip itself is the operator under
-  * test. (No spark-avro / ORC jars ship in this environment.)
+  * schema'd read), JSON-lines, and ORC (built-in — orc-core ships with
+  * Spark), exercised as write→read round trips whose results must equal
+  * the parquet originals — so the oracle is just the parquet-table SQL
+  * and the round trip itself is the operator under test. (Avro stays
+  * uncovered: the spark-avro DATASOURCE module is not on the classpath —
+  * only the avro library jar Spark uses internally.)
   */
 object SourceFormats {
 
@@ -54,6 +56,21 @@ object SourceFormats {
           .orderBy("p_brand")
       },
       Some("SELECT p_brand, count(*) AS c, max(p_size) AS max_size " +
-        "FROM part GROUP BY p_brand ORDER BY p_brand"))
+        "FROM part GROUP BY p_brand ORDER BY p_brand")),
+
+    QuerySpec("q71_orc_roundtrip",
+      (s, d) => {
+        val dir = roundTripDir("graft-orc")
+        val src = Tables(s, d, "supplier")
+        src.write.mode("overwrite").orc(dir)
+        s.read.schema(src.schema).orc(dir)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("c"),
+            sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("SELECT s_nationkey, count(*) AS c, " +
+        "CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"))
   )
 }
