@@ -116,16 +116,32 @@ class StreamingSpec extends SparkSuite {
         .agg(count(lit(1)).as("n_events"))
       val q2 = builtin.writeStream.format("memory").queryName("ooo_builtin")
         .outputMode("append").start()
+      // transformWithState variant on the same replay: registered-timer
+      // semantics across REAL multi-batch watermark progression (the
+      // oracle gate drains its replay in one pass, which exercises at
+      // most one timer round). RocksDB provider is query-scoped.
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q3 = try TransformSessions.sessionize(
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(dir)).toDF()
+        .writeStream.format("memory").queryName("ooo_tws")
+        .outputMode("append").start()
+      finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
 
       for (i <- Seq(2, 1, 4, 3)) {
         chunked.filter(col("chunk") === i).select("user_id", "ts")
           .coalesce(1).write.mode("append").parquet(dir)
-        q1.processAllAvailable(); q2.processAllAvailable()
+        q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       }
       Seq((-1L, new java.sql.Timestamp(maxTs + 24 * 3600 * 1000L)))
         .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
-      q1.processAllAvailable(); q2.processAllAvailable()
-      q1.stop(); q2.stop()
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      q1.stop(); q2.stop(); q3.stop()
 
       val customRows = spark.table("ooo_custom").filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("n_events").cast("long"))
@@ -133,9 +149,14 @@ class StreamingSpec extends SparkSuite {
       val builtinRows = spark.table("ooo_builtin").filter(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("session_window.start")), col("n_events"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val twsRows = spark.table("ooo_tws").filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("n_events").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(customRows.nonEmpty)
       assert(customRows == builtinRows,
         s"custom-only: ${customRows -- builtinRows}; builtin-only: ${builtinRows -- customRows}")
+      assert(twsRows == builtinRows,
+        s"tws-only: ${twsRows -- builtinRows}; builtin-only: ${builtinRows -- twsRows}")
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
