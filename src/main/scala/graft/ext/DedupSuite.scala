@@ -67,13 +67,26 @@ object DedupSuite {
     val edges = minhashPairs(s, d, distThreshold, docs)
       .select("a_id", "b_id").rdd
       .map(r => (r.getLong(0), r.getLong(1)))
+      .cache()
+    // Right-size partitions to pair volume before CC iterates (same
+    // policy as GraphxAnalytics.compositeEdges: GraphX pays per-partition
+    // scheduling every round, and the LSH pair list is usually a tiny
+    // fraction of the corpus). The pair RDD is cached so the sizing
+    // count doesn't recompute the LSH join.
+    val parts = math.max(2,
+      math.min(edges.getNumPartitions, (edges.count() / 50000L).toInt + 1))
     // CC messages flow along both triplet directions, so ONE tuple per
     // undirected pair suffices.
-    Graph.fromEdgeTuples(edges, ()).connectedComponents().vertices
+    val out = Graph.fromEdgeTuples(edges.coalesce(parts), ())
+      .connectedComponents().vertices
       .toDF("doc_id", "cluster_id")
       .groupBy("cluster_id")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
+      .cache()
+    out.count()
+    edges.unpersist(blocking = false)
+    out
   }
 
   val specs: Seq[QuerySpec] = Seq(
