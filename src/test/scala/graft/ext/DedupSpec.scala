@@ -68,6 +68,18 @@ class DedupSpec extends SparkSuite {
     assert(clusters.head.getAs[Long]("n_members") == 3L)
   }
 
+  test("dedup clusters: disjoint docs produce zero clusters, not a crash") {
+    import spark.implicits._
+    // Token sets with no overlap at all: the LSH join yields no pairs,
+    // so CC runs on an EMPTY edge list — the pipeline must return an
+    // empty keep-list, not throw on the degenerate graph.
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "cc", "dd", "ee", "ff")),
+      (2L, Seq("gg", "hh", "ii", "jj", "kk", "ll")),
+      (3L, Seq("mm", "nn", "oo", "pp", "qq", "rr"))).toDF("doc_id", "toks")
+    assert(DedupSuite.dedupClusters(spark, sf, 0.3, docs = docs).count() == 0)
+  }
+
   test("exact dedup groups: fingerprint grouping finds planted exact copies") {
     import spark.implicits._
     val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")

@@ -100,6 +100,31 @@ class ScaleTechniquesSpec extends SparkSuite {
     }
   }
 
+  test("broadcast threshold governs join strategy; explicit hint overrides it") {
+    // The planner lever that decides whether a dim ships to every
+    // executor or both sides shuffle: below the size threshold the dim
+    // broadcasts; with the threshold off it falls back to a shuffle
+    // join; an explicit broadcast() hint restores the broadcast plan
+    // regardless — the knob a 100 TB job turns per-join, not globally.
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    val pa = Tables(spark, sf, "part").select("p_partkey", "p_brand")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val auto = planOf(li.join(pa, col("l_partkey") === col("p_partkey")))
+    assert(auto.contains("BroadcastHashJoin"), auto)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = planOf(li.join(pa, col("l_partkey") === col("p_partkey")))
+      assert(!shuffled.contains("BroadcastHashJoin"), shuffled)
+      assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"),
+        shuffled)
+      val hinted = planOf(li.join(broadcast(pa), col("l_partkey") === col("p_partkey")))
+      assert(hinted.contains("BroadcastHashJoin"), hinted)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted two-phase aggregation == direct aggregation (skew-safe form)") {
     // Phase 1 fans a hot key across 16 salt buckets (partial agg), phase 2
     // combines — exact for algebraic aggregates, and the manual form of
