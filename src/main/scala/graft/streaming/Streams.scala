@@ -155,6 +155,38 @@ object Streams {
         "count(*) AS n_events FROM m GROUP BY user_id, sess " +
         "ORDER BY user_id, session_start")),
 
+    // S4: STREAM-STREAM interval join — click→purchase attribution, the
+    // canonical two-stream correlation: each side carries its own
+    // watermark, the time-range predicate bounds the join state (rows
+    // age out once the other side's watermark passes click_ts + 10 min),
+    // and append mode emits each matched pair exactly once. Oracle: the
+    // identical interval self-join in batch SQL.
+    QuerySpec("s_stream_join",
+      (s, d) => withReplay(s, d, duplicate = false) { stream =>
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "1 hour")
+        runToMemory(s,
+          clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES")),
+          "append")
+      }.select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id"),
+      Some("SELECT c.user_id AS user_id, c.event_id AS click_id, " +
+        "p.event_id AS purchase_id FROM events c JOIN events p " +
+        "ON c.user_id = p.user_id AND c.event_type = 'click' " +
+        "AND p.event_type = 'purchase' " +
+        "AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) " +
+        "AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE " +
+        "ORDER BY user_id, click_id, purchase_id")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.
