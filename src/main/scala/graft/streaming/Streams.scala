@@ -187,6 +187,60 @@ object Streams {
         "AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE " +
         "ORDER BY user_id, click_id, purchase_id")),
 
+    // S4b: stream-stream LEFT OUTER interval join — the hard variant:
+    // matched rows emit immediately, but an UNMATCHED click emits its
+    // null-extended row only once the watermark passes click_ts + the
+    // join window (in a closing no-data micro-batch). Catalyst pushes an
+    // event_type filter BELOW the watermark node (the predicate doesn't
+    // reference ts), so each join side's watermark tracks only its own
+    // type's max ts — the resting watermark is min(max click ts, max
+    // purchase ts) − 1 h and the tail of clicks would never flush. The
+    // flush-sentinel pattern (StatefulSessions.runWith) fixes that
+    // deterministically: one far-future click AND purchase on user −1
+    // push BOTH sides' watermarks past every real click's eviction bound,
+    // so the stream result equals the plain batch left join.
+    QuerySpec("s_stream_outer_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables(s, d, "events")
+        val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+        val dir = replayDir(s, d, chunks = 8)
+        try {
+          val flushTs = maxTs.getTime + 7L * 24 * 3600 * 1000
+          Seq((-1L, new java.sql.Timestamp(flushTs), -1L, "click", 0.0, "{}"),
+              (-2L, new java.sql.Timestamp(flushTs + 3600 * 1000L), -1L, "purchase", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("append").parquet(dir)
+          val wm = s.readStream.schema(ev.schema).parquet(dir)
+            .withWatermark("ts", "1 hour")
+          val clicks = wm.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+          val purchases = wm.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+          runToMemory(s,
+            clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("purchase_ts") >= col("click_ts") &&
+                col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+              "leftOuter"),
+            "append")
+        } finally graft.TmpFiles.deleteRecursively(dir)
+      }.filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id")).as("n_attributed"))
+        .orderBy("user_id"),
+      Some("WITH j AS (SELECT c.user_id AS user_id, p.event_id AS pid " +
+        "FROM events c LEFT JOIN events p ON c.user_id = p.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) " +
+        "AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE " +
+        "WHERE c.event_type = 'click') " +
+        "SELECT user_id, count(*) AS n_rows, count(pid) AS n_attributed " +
+        "FROM j GROUP BY user_id ORDER BY user_id")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.
