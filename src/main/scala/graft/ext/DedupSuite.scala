@@ -152,6 +152,46 @@ object DedupSuite {
         "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) " +
         "AS BIGINT) AS simhash FROM v GROUP BY doc_id ORDER BY doc_id LIMIT 200")),
 
+    // Cross-corpus chunk-level dedup (the C4/RefinedWeb "exact substring"
+    // pass): slice every document into non-overlapping 8-token chunks,
+    // keep only the FIRST occurrence of each chunk corpus-wide (lowest
+    // (doc_id, chunk_idx)), report per-doc survival. The global keep-first
+    // decision shuffles ONLY a 60-bit chunk fingerprint — never the text —
+    // so the exchange carries 8-byte keys at any corpus size; a fingerprint
+    // collision merges two chunks identically on both engines, so the
+    // oracle still matches (and at 1e-18/pair is noise in a quality pass).
+    QuerySpec("q75_chunk_dedup",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id", "ci")
+        Tables(s, d, "documents")
+          .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+          .filter(expr("size(tk) >= 8"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) div 8), i -> named_struct(" +
+              "'ci', i, " +
+              "'fp', CAST(conv(substring(md5(array_join(slice(tk, (i-1)*8+1, 8), ' ')), " +
+              "1, 15), 16, 10) AS BIGINT)))")).as("c"))
+          .select(col("doc_id"), col("c.ci").as("ci"), col("c.fp").as("fp"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("doc_id").limit(300)
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
+        "c AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) // 8)) AS ci " +
+        "FROM t WHERE len(tk) >= 8), " +
+        "h AS (SELECT doc_id, ci, CAST(concat('0x', substr(md5(" +
+        "array_to_string(tk[(ci-1)*8+1 : (ci-1)*8+8], ' ')), 1, 15)) AS BIGINT) AS fp " +
+        "FROM c), " +
+        "r AS (SELECT doc_id, ci, row_number() OVER " +
+        "(PARTITION BY fp ORDER BY doc_id, ci) AS rn FROM h) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM r GROUP BY doc_id ORDER BY doc_id LIMIT 300")),
+
     // MinHash+LSH banded near-dup join (MLlib) — approximate, so no SQL
     // oracle; recall is property-tested against planted duplicates and
     // the exact token-set Jaccard (DedupSpec). Candidate set bounded: the

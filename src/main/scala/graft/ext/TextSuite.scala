@@ -159,6 +159,56 @@ object TextSuite {
         "(acc, c) -> (acc * 31 + c) % 1000000007))) END AS min_kgram " +
         "FROM documents ORDER BY doc_id LIMIT 200")),
 
+    // Intra-document repetition ratio — the duplicate-trigram fraction
+    // used as a "degenerate text" quality gate (boilerplate, keyword
+    // stuffing, decode loops all score high). Pure per-row HOF arithmetic
+    // inside whole-stage codegen: no explode, no shuffle beyond the
+    // top-k sort, linear in corpus size.
+    QuerySpec("q74_repetition_ratio",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+        .filter(expr("size(tk) >= 3"))
+        .withColumn("tg", expr("transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+        .select(col("doc_id"),
+          expr("round(1.0 - size(array_distinct(tg)) / size(tg), 6)").as("rep"))
+        .orderBy(col("rep").desc, col("doc_id")).limit(100),
+      Some("WITH t AS (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), " +
+        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS tg FROM t WHERE len(tk) >= 3) " +
+        "SELECT doc_id, round(1.0 - len(list_distinct(tg)) / len(tg), 6) AS rep " +
+        "FROM g ORDER BY rep DESC, doc_id LIMIT 100")),
+
+    // Domain-mix resampling — rebalance the corpus so every source
+    // contributes equally (downsample each source to the smallest one),
+    // deterministically: the per-source acceptance rate is min_cnt/cnt and
+    // the accept decision is the q56 md5 hash gate on doc_id, so the same
+    // rows survive on any engine or cluster layout. Two-pass plan: a tiny
+    // per-source count aggregate (broadcast back), then one linear
+    // filtered scan — no shuffle of the corpus itself.
+    QuerySpec("q76_domain_mix",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        val target = cnts.agg(min("cnt").as("min_cnt"))
+        docs.join(broadcast(cnts), "source").crossJoin(broadcast(target))
+          .withColumn("gate",
+            (conv(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"), 16, 10)
+              .cast("int") % 10000) / lit(10000.0))
+          .filter(col("gate") < col("min_cnt") / col("cnt"))
+          .groupBy("source")
+          .agg(max("cnt").as("cnt"), count(lit(1)).as("kept"))
+          .orderBy("source")
+      },
+      Some("WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source), " +
+        "m AS (SELECT min(cnt) AS min_cnt FROM c) " +
+        "SELECT d.source AS source, max(c.cnt) AS cnt, count(*) AS kept " +
+        "FROM documents d JOIN c ON d.source = c.source CROSS JOIN m " +
+        "WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) " +
+        "% 10000) / 10000.0 < CAST(m.min_cnt AS DOUBLE) / c.cnt " +
+        "GROUP BY d.source ORDER BY source")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).

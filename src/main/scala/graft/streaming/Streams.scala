@@ -241,6 +241,37 @@ object Streams {
         "SELECT user_id, count(*) AS n_rows, count(pid) AS n_attributed " +
         "FROM j GROUP BY user_id ORDER BY user_id")),
 
+    // S4c: STREAM-STATIC join — the enrichment shape (stream joined to a
+    // slowly-changing dim). Stateless per micro-batch: the static side is
+    // a batch DataFrame (per-user first signup time) broadcast into every
+    // batch's hash join, so no watermark and no join state at all — the
+    // scale cost is one broadcast, independent of stream length. Sum is
+    // decimal-cast before the double conversion (summation-order-proof).
+    QuerySpec("s_stream_static_join",
+      (s, d) => {
+        val dim = Tables(s, d, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("signup_ts"))
+        withReplay(s, d, duplicate = false) { ev =>
+          runToMemory(s,
+            ev.filter(col("event_type") === "purchase")
+              .join(broadcast(dim), "user_id"),
+            "append")
+        }
+      }.filter(col("ts") >= col("signup_ts"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("user_id"),
+      Some("WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id) " +
+        "SELECT e.user_id AS user_id, count(*) AS n_purchases, " +
+        "CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
+        "FROM events e JOIN s ON e.user_id = s.user_id " +
+        "WHERE e.event_type = 'purchase' " +
+        "AND CAST(e.ts AS TIMESTAMP) >= CAST(s.signup_ts AS TIMESTAMP) " +
+        "GROUP BY e.user_id ORDER BY user_id")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.

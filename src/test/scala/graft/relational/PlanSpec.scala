@@ -43,4 +43,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"batch ANN must join on bucket keys:\n$p")
   }
+
+  test("q76 domain mix: both stats sides broadcast — the corpus itself is never shuffled") {
+    val p = plan("q76_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"per-source counts and the min must broadcast back, not shuffle the corpus:\n$p")
+  }
+
+  test("q75 chunk dedup: the keep-first exchange carries the 60-bit fingerprint, not text") {
+    val p = plan("q75_chunk_dedup")
+    val lines = p.linesIterator.toVector
+    val i = lines.indexWhere(_.contains("Exchange hashpartitioning(fp#"))
+    assert(i >= 0, s"expected a shuffle keyed on fp:\n$p")
+    // The operator feeding that exchange must already have projected the
+    // text away — only (doc_id, ci, fp) cross the wire.
+    val input = lines(i + 1)
+    assert(input.contains("Project [doc_id#") && !input.contains("text#")
+      && !input.contains("tk#"),
+      s"document text must not cross the shuffle:\n$input")
+  }
 }
