@@ -204,6 +204,66 @@ object SimilaritySuite {
     // mean recall@10 over sampled probes asserted in SimilaritySpec.
     QuerySpec("q70_ann_batch",
       (s, d) => annBatchTopK(s, d, k = 10, probeLimit = 100L),
-      None)
+      None),
+
+    // Int8 scalar quantization — the 4x storage/bandwidth reduction pass
+    // run before shipping embeddings to an ANN index. Symmetric global
+    // scale (corpus max-|x|, a one-scalar aggregate broadcast back), then
+    // per-row HOF quantize + exact reconstruction error via a left-fold
+    // sum (list_reduce on the oracle side — same summation order, so the
+    // doubles match bit-for-bit). Linear scan, no shuffle of the vectors.
+    QuerySpec("q78_embedding_quantize",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val scale = emb.agg(
+          max(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("m"))
+        emb.crossJoin(broadcast(scale))
+          .withColumn("q", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m, 0) AS INT))"))
+          .select(col("vec_id"),
+            expr("array_min(q)").as("q_min"), expr("array_max(q)").as("q_max"),
+            expr("round(aggregate(zip_with(embedding, q, " +
+              "(x, qi) -> pow(CAST(x AS DOUBLE) - qi * m / 127.0, 2)), " +
+              "CAST(0.0 AS DOUBLE), (a, e) -> a + e), 10)").as("err"))
+          .orderBy("vec_id").limit(200)
+      },
+      Some("WITH m AS (SELECT max(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings), " +
+        "q AS (SELECT vec_id, embedding, m.m, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.m, 0) AS INT)) AS q " +
+        "FROM embeddings CROSS JOIN m) " +
+        "SELECT vec_id, list_min(q) AS q_min, list_max(q) AS q_max, " +
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(generate_series(1, len(embedding)), " +
+        "i -> pow(CAST(embedding[i] AS DOUBLE) - q[i] * m / 127.0, 2))), " +
+        "(a, e) -> a + e), 10) AS err " +
+        "FROM q ORDER BY vec_id LIMIT 200")),
+
+    QuerySpec("q79_embedding_quantize_reconstruct",
+      // Round-trip check of the same quantization as an aggregate: corpus
+      // MSE and the worst per-vector error — the acceptance metric a
+      // pipeline actually gates deployment on. Shares q78's arithmetic.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val scale = emb.agg(
+          max(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")).as("m"))
+        emb.crossJoin(broadcast(scale))
+          .select(expr("round(aggregate(transform(embedding, " +
+            "x -> pow(CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) * 127.0 / m, 0) AS INT) * m / 127.0, 2)), " +
+            "CAST(0.0 AS DOUBLE), (a, e) -> a + e) / size(embedding), 12)").as("mse"))
+          .agg(count(lit(1)).as("n_vecs"),
+            max(col("mse")).as("worst_mse"),
+            // decimal-cast before the cross-partition sum: double += is
+            // order-sensitive, decimal is exact (repo oracle rule)
+            sum(col("mse").cast("decimal(28,14)")).cast("double").as("sum_mse"))
+      },
+      Some("WITH m AS (SELECT max(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings), " +
+        "e AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(embedding, " +
+        "x -> pow(CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) * 127.0 / m.m, 0) AS INT) * m.m / 127.0, 2))), " +
+        "(a, e) -> a + e) / len(embedding), 12) AS mse FROM embeddings CROSS JOIN m) " +
+        "SELECT count(*) AS n_vecs, max(mse) AS worst_mse, " +
+        "CAST(sum(CAST(mse AS DECIMAL(28,14))) AS DOUBLE) AS sum_mse FROM e"))
   )
 }

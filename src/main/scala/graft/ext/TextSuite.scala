@@ -209,6 +209,26 @@ object TextSuite {
         "% 10000) / 10000.0 < CAST(m.min_cnt AS DOUBLE) / c.cnt " +
         "GROUP BY d.source ORDER BY source")),
 
+    // Canonical text normalization — the cleaning stage every dedup key
+    // is computed from: lowercase, strip non-alphanumerics, collapse
+    // whitespace, and (for the near-dup key) mask digit runs. Emits both
+    // digests; per-row codegen'd regex, no shuffle. DuckDB needs the 'g'
+    // flag to match Spark's replace-all default.
+    QuerySpec("q77_text_normalize",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""), " +", " ")))
+        .select(col("doc_id"),
+          length(col("norm")).as("n_norm"),
+          md5(col("norm")).as("digest"),
+          md5(regexp_replace(col("norm"), "[0-9]+", "0")).as("masked_digest"))
+        .orderBy("doc_id").limit(200),
+      Some("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, CAST(length(norm) AS INT) AS n_norm, md5(norm) AS digest, " +
+        "md5(regexp_replace(norm, '[0-9]+', '0', 'g')) AS masked_digest " +
+        "FROM n ORDER BY doc_id LIMIT 200")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).

@@ -50,6 +50,18 @@ object Streams {
     s.table(name)
   }
 
+  /** File-sink output + checkpoint dirs must OUTLIVE the query (the
+    * returned DataFrame reads the landed files lazily), so they live
+    * under a JVM-lifetime root removed by a shutdown hook — the same
+    * pattern as `SourceFormats.root`. Each invocation gets a fresh
+    * subdir: a reused path + fresh checkpoint would re-land everything. */
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val r = Files.createTempDirectory("graft-sink")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.TmpFiles.deleteRecursively(r.toString)))
+    r
+  }
+
   /** Build the replayed stream, run `f` over it, then remove the replay
     * temp dir (the memory sink owns the results by then). */
   private def withReplay(s: SparkSession, sfDir: String, duplicate: Boolean)(
@@ -271,6 +283,44 @@ object Streams {
         "WHERE e.event_type = 'purchase' " +
         "AND CAST(e.ts AS TIMESTAMP) >= CAST(s.signup_ts AS TIMESTAMP) " +
         "GROUP BY e.user_id ORDER BY user_id")),
+
+    // S5: streaming PARQUET FILE SINK — how a pipeline actually lands a
+    // stream (the memory sink above is a test harness, not a sink users
+    // run). Clicks land day-partitioned; the sink's _spark_metadata
+    // commit log is what makes the landed directory exactly-once — the
+    // batch read-back only sees committed files, so the round trip must
+    // equal the batch aggregate even though the stream wrote 8 separate
+    // micro-batches. Day-partitioned layout is also the downstream
+    // partition-pruning story at 100 TB.
+    QuerySpec("s_file_sink",
+      (s, d) => {
+        val sub = sinkRoot.resolve(UUID.randomUUID().toString)
+        val out = sub.resolve("out").toString
+        val ckpt = sub.resolve("ckpt").toString
+        val dir = replayDir(s, d, chunks = 8)
+        try {
+          val schema = Tables(s, d, "events").schema
+          val q = s.readStream.schema(schema).parquet(dir)
+            .filter(col("event_type") === "click")
+            .withColumn("day", to_date(col("ts")))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .partitionBy("day")
+            .outputMode("append").start()
+          q.processAllAvailable(); q.stop()
+        } finally graft.TmpFiles.deleteRecursively(dir)
+        s.read.parquet(out)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_clicks"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("click_value"))
+          .orderBy("day")
+      },
+      Some("SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+        "count(*) AS n_clicks, count(DISTINCT user_id) AS n_users, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS click_value " +
+        "FROM events WHERE event_type = 'click' " +
+        "GROUP BY 1 ORDER BY day")),
 
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
