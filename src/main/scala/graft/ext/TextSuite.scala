@@ -229,6 +229,57 @@ object TextSuite {
         "md5(regexp_replace(norm, '[0-9]+', '0', 'g')) AS masked_digest " +
         "FROM n ORDER BY doc_id LIMIT 200")),
 
+    // The full cleaning funnel as ONE declarative query — the composition
+    // a pipeline actually ships: normalize (q77) → quality gate → exact
+    // dedup on the digit-masked digest (keep lowest doc_id) → repetition
+    // gate (q74). Emits per-stage survivor counts plus doc_id/token
+    // checksums of the final keep-set (a far stronger gate than counts).
+    // One shuffle total (the dedup groupBy on the digest); every gate
+    // before it is a linear codegen'd scan, so stage order matters: cheap
+    // row-local filters run FIRST and the shuffle sees only survivors.
+    QuerySpec("q80_pipeline_funnel",
+      (s, d) => {
+        val staged = Tables(s, d, "documents")
+          .withColumn("norm", trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""), " +", " ")))
+          .withColumn("tk", expr("filter(split(norm, ' '), x -> x <> '')"))
+          .withColumn("pass_quality", expr("size(tk) >= 30"))
+          .withColumn("tg", expr("transform(sequence(0, greatest(size(tk) - 3, 0)), " +
+            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .withColumn("pass_rep",
+            expr("size(tk) >= 3 AND 1.0 - size(array_distinct(tg)) / size(tg) < 0.5"))
+          .withColumn("digest", md5(regexp_replace(col("norm"), "[0-9]+", "0")))
+        val kept = staged.filter(col("pass_quality") && col("pass_rep"))
+          .groupBy("digest")
+          .agg(min("doc_id").as("keep_id"), min(expr("size(tk)")).as("n_tok"))
+        staged.agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("pass_quality") && col("pass_rep"), 1L).otherwise(0L))
+              .as("n_clean"))
+          .crossJoin(broadcast(kept.agg(
+            count(lit(1)).as("n_kept"),
+            sum("keep_id").as("keep_id_sum"),
+            sum("n_tok").cast("bigint").as("kept_tokens"))))
+      },
+      Some("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents), " +
+        "t AS (SELECT doc_id, norm, list_filter(string_split(norm, ' '), x -> x <> '') AS tk FROM n), " +
+        "st AS (SELECT doc_id, len(tk) AS ntok, len(tk) >= 30 AS pass_quality, " +
+        "len(tk) >= 3 AND 1.0 - len(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(tk) - 2, 1)), " +
+        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) / " +
+        "greatest(len(tk) - 2, 1) < 0.5 AS pass_rep, " +
+        "md5(regexp_replace(norm, '[0-9]+', '0', 'g')) AS digest FROM t), " +
+        "k AS (SELECT digest, min(doc_id) AS keep_id, min(ntok) AS n_tok FROM st " +
+        "WHERE pass_quality AND pass_rep GROUP BY digest), " +
+        "tot AS (SELECT count(*) AS n_raw, " +
+        "CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+        "CAST(sum(CASE WHEN pass_quality AND pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_clean FROM st), " +
+        "kt AS (SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS keep_id_sum, " +
+        "CAST(sum(n_tok) AS BIGINT) AS kept_tokens FROM k) " +
+        "SELECT * FROM tot CROSS JOIN kt")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).
