@@ -289,6 +289,83 @@ object TextSuite {
         "CAST(sum(n_tok) AS BIGINT) AS kept_tokens FROM k) " +
         "SELECT * FROM tot CROSS JOIN kt")),
 
+    // Stratified exact-k sampling — exactly 20 docs per source, chosen by
+    // the deterministic md5 order (any engine, any cluster layout → the
+    // same sample). The rn <= 20 predicate qualifies for Spark's
+    // WindowGroupLimit pushdown, so each partition keeps a 20-row heap
+    // per source instead of fully sorting — the per-stratum top-k plan
+    // that survives 100 TB.
+    QuerySpec("q81_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+        Tables(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_checksum"))
+          .orderBy("source")
+      },
+      Some("WITH r AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum " +
+        "FROM r WHERE rn <= 20 GROUP BY source ORDER BY source")),
+
+    // Context-length clipping — truncate every document to its first 256
+    // tokens (the budget-enforcement step before packing); emits the
+    // post-clip token count and a digest of the clipped text. Per-row
+    // slice, linear scan.
+    QuerySpec("q82_token_truncate",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(col("doc_id"),
+          least(expr("size(tk)"), lit(256)).as("n_out"),
+          md5(expr("array_join(slice(tk, 1, 256), ' ')")).as("digest"))
+        .orderBy("doc_id").limit(200),
+      Some("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS tk FROM documents) " +
+        "SELECT doc_id, CAST(least(len(tk), 256) AS INT) AS n_out, " +
+        "md5(array_to_string(tk[1:256], ' ')) AS digest " +
+        "FROM t ORDER BY doc_id LIMIT 200")),
+
+    // Adaptive quality threshold — keep everything at or above the
+    // corpus's own P25 of the q42 quality score: the data-dependent
+    // filter a pipeline uses when an absolute threshold won't transfer
+    // across corpora. Two-phase: exact interpolated percentile (one tiny
+    // aggregate, broadcast back), then conditional aggregation — NOT a
+    // row filter, which pushdown would re-inline through the score's
+    // HOF chain (the q80 lesson).
+    QuerySpec("q83_adaptive_quality",
+      (s, d) => {
+        val scored = Tables(s, d, "documents")
+          .withColumn("toks", expr("split(text, ' ')"))
+          .withColumn("n", expr("size(toks)"))
+          .withColumn("en_c", expr(s"size(filter(toks, x -> x IN $enList))"))
+          .withColumn("score", expr(
+            "round(0.4 * least(1.0, n / 100.0) " +
+              "+ 0.3 * (size(array_distinct(toks)) / n) " +
+              "+ 0.3 * least(1.0, en_c * 5.0 / n), 6)"))
+          .select("doc_id", "score")
+        val thr = scored.agg(expr("round(percentile(score, 0.25), 6)").as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("score") >= col("thr"), col("doc_id"))).as("kept_id_sum"),
+            max("thr").as("thr"))
+      },
+      Some("WITH sc AS (SELECT doc_id, " +
+        "round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0) " +
+        "+ 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) " +
+        s"+ 0.3 * least(1.0, len(list_filter(string_split(text, ' '), x -> x IN $enList)) " +
+        "* 5.0 / len(string_split(text, ' '))), 6) AS score FROM documents), " +
+        "t AS (SELECT round(quantile_cont(score, 0.25), 6) AS thr FROM sc) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN score >= thr THEN doc_id END) AS BIGINT) AS kept_id_sum, " +
+        "max(thr) AS thr FROM sc CROSS JOIN t")),
+
     // Document fingerprints: full md5 plus a 60-bit integer prefix (the
     // join-key form used for exact dedup at scale — group by fp64, not by
     // the full text).
