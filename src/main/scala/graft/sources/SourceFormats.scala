@@ -58,6 +58,51 @@ object SourceFormats {
       Some("SELECT p_brand, count(*) AS c, max(p_size) AS max_size " +
         "FROM part GROUP BY p_brand ORDER BY p_brand")),
 
+    // Schema evolution — the data-lake reality: files written before a
+    // column existed sit next to files written after. Half of `orders`
+    // lands with the v1 schema (no o_totalprice), half with v2; a
+    // mergeSchema read reconciles them (v1 rows surface NULL), and the
+    // aggregate must equal the original table's arithmetic.
+    QuerySpec("q84_schema_evolution",
+      (s, d) => {
+        val dir = roundTripDir("graft-evolve")
+        val src = Tables(s, d, "orders")
+        src.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").parquet(dir + "/v1")
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(dir + "/v2")
+        s.read.option("mergeSchema", "true").parquet(dir + "/v1", dir + "/v2")
+          .agg(count(lit(1)).as("n"),
+            count(col("o_totalprice")).as("n_priced"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sp"))
+      },
+      Some("SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_priced, " +
+        "CAST(sum(CASE WHEN o_orderkey % 2 = 1 " +
+        "THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sp FROM orders")),
+
+    // Hive-style partitioned layout — write `documents` partitioned by
+    // source, read back with a partition predicate. The filter must
+    // resolve at PLANNING time from directory names (PartitionFilters in
+    // the scan, pinned in PlanSpec): at 100 TB this is the difference
+    // between listing one directory and scanning the corpus.
+    QuerySpec("q85_partitioned_pruning",
+      (s, d) => {
+        val dir = roundTripDir("graft-partitioned")
+        Tables(s, d, "documents")
+          .write.partitionBy("source").mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("source") === "src1")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("chars"),
+            sum("doc_id").as("id_checksum"))
+      },
+      Some("SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum " +
+        "FROM documents WHERE source = 'src1'")),
+
     QuerySpec("q71_orc_roundtrip",
       (s, d) => {
         val dir = roundTripDir("graft-orc")

@@ -44,6 +44,13 @@ class PlanSpec extends SparkSuite {
       s"batch ANN must join on bucket keys:\n$p")
   }
 
+  test("q85: the source predicate resolves from directory names, not data") {
+    val p = plan("q85_partitioned_pruning")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("isnotnull(source") || scan.contains("(source"),
+      s"expected a partition filter on source:\n$p")
+  }
+
   test("q76 domain mix: both stats sides broadcast — the corpus itself is never shuffled") {
     val p = plan("q76_domain_mix")
     assert(p.contains("BroadcastHashJoin"), p)
