@@ -58,6 +58,22 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.6, s"mean recall@10 = $mean over ${recalls.size} probes")
   }
 
+  test("int8 quantization error is bounded by half a step per element (q78/q79)") {
+    // round-to-nearest with symmetric scale m means every element's
+    // reconstruction error is <= m/254 (half of the m/127 step), so the
+    // per-vector MSE cannot exceed (m/254)^2 — the acceptance bound the
+    // q79 metric gates deployment on.
+    val r = SimilaritySuite.specs.find(_.name == "q79_embedding_quantize_reconstruct").get
+      .run(spark, sf).head()
+    val m = graft.Tables(spark, sf, "embeddings")
+      .agg(max(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")))
+      .head().getDouble(0)
+    val bound = (m / 254.0) * (m / 254.0)
+    val worst = r.getAs[Double]("worst_mse")
+    assert(r.getAs[Long]("n_vecs") > 0)
+    assert(worst <= bound + 1e-12, s"worst_mse=$worst exceeds half-step bound=$bound (m=$m)")
+  }
+
   test("exact cosine pairs are symmetric-clean: a_id < b_id, cos in [-1,1]") {
     val rows = SimilaritySuite.specs.find(_.name == "q47_cosine_pairs").get
       .run(spark, sf).collect()
