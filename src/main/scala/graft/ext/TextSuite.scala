@@ -229,6 +229,50 @@ object TextSuite {
         "md5(regexp_replace(norm, '[0-9]+', '0', 'g')) AS masked_digest " +
         "FROM n ORDER BY doc_id LIMIT 200")),
 
+    // PII redaction — the compliance pass every training corpus ships
+    // through: detect + mask emails, phone numbers, and IPv4 addresses.
+    // The fixture text is clean lowercase prose, so each row deterministically
+    // appends synthetic PII derived from doc_id (identically on both
+    // engines) — the redactor is exercised on every row and the oracle
+    // stays a genuine independent re-derivation. Per-row codegen'd
+    // regexes, no shuffle, linear scan — the 100 TB shape. Redaction
+    // order (email → IP → phone) is fixed so digests agree.
+    QuerySpec("q88_pii_redaction",
+      (s, d) => {
+        val emailPat = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+        val phonePat = "555-[0-9]{4}"
+        val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+        Tables(s, d, "documents")
+          .withColumn("aug", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), expr("(doc_id div 256) % 256").cast("string")))
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(emailPat)).as("n_email"),
+            regexp_count(col("aug"), lit(phonePat)).as("n_phone"),
+            regexp_count(col("aug"), lit(ipPat)).as("n_ip"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
+              .as("digest"))
+          .orderBy("doc_id").limit(200)
+      },
+      Some("WITH a AS (SELECT doc_id, text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@mail.example.com call 555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+        "CAST((doc_id // 256) % 256 AS VARCHAR) AS aug FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INT) AS n_email, " +
+        "CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INT) AS n_phone, " +
+        "CAST(len(regexp_extract_all(aug, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INT) AS n_ip, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(aug, " +
+        "'[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'), " +
+        "'[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'), " +
+        "'555-[0-9]{4}', '<PHONE>', 'g')) AS digest " +
+        "FROM a ORDER BY doc_id LIMIT 200")),
+
     // The full cleaning funnel as ONE declarative query — the composition
     // a pipeline actually ships: normalize (q77) → quality gate → exact
     // dedup on the digit-masked digest (keep lowest doc_id) → repetition

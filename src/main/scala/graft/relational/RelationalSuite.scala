@@ -441,6 +441,26 @@ object RelationalSuite {
         .orderBy("o_orderstatus"),
       None),
 
+    // Mergeable-sketch distinct counting (Apache DataSketches HLL): build
+    // one sketch per event_type in a single pass, then UNION the sketches
+    // — the 100 TB pattern where per-partition/per-day sketches are
+    // persisted once and merged at query time instead of re-scanning
+    // history. DuckDB has no DataSketches surface → rows-only gate;
+    // RelationalGapsSpec asserts the union of per-group sketches yields
+    // the same estimate as a direct whole-corpus sketch (mergeability)
+    // and lands within 5% of exact COUNT(DISTINCT).
+    QuerySpec("q89_hll_merge",
+      (s, d) => {
+        val sk = t(s, d, "events").groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        sk.select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+          .unionAll(sk
+            .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+            .select(lit("__merged__").as("event_type"), col("est")))
+          .orderBy("event_type")
+      },
+      None),
+
     QuerySpec("q35_map_scalars",
       // Build a MAP per region (map_from_entries), then take it apart
       // again with map_keys/map_values — order-independent outputs so the
@@ -658,6 +678,85 @@ object RelationalSuite {
         "CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
         "CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // CDC log compaction — the "latest snapshot" materialization: one
+    // surviving row per key (most recent event, second-granularity ts
+    // with event_id tie-break — µs-vs-ns engine truncation makes raw-ts
+    // ordering non-portable). rn = 1 compiles to WindowGroupLimit, so
+    // compaction keeps a 1-row heap per key instead of sorting history.
+    QuerySpec("q86_latest_snapshot",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(expr("date_trunc('second', ts)").desc, col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+          .orderBy("event_type")
+      },
+      Some("WITH r AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)) DESC, " +
+        "event_id DESC) AS rn FROM events) " +
+        "SELECT event_type, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_checksum " +
+        "FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type")),
+
+    // SCD2 interval build — turn the change log into validity ranges:
+    // each state is valid from its event until the key's next event
+    // (NULL = still current). One window pass; emitted as corpus totals
+    // (interval count, open rows, closed validity seconds).
+    QuerySpec("q87_scd2_intervals",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("sec", expr("unix_timestamp(date_trunc('second', ts))"))
+          .withColumn("next_sec", lead("sec", 1).over(w))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("next_sec").isNull, 1L).otherwise(0L)).as("n_open"),
+            sum(col("next_sec") - col("sec")).as("valid_seconds"))
+      },
+      Some("WITH x AS (SELECT user_id, event_id, " +
+        "epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec FROM events), " +
+        "i AS (SELECT sec, lead(sec) OVER " +
+        "(PARTITION BY user_id ORDER BY sec, event_id) AS next_sec FROM x) " +
+        "SELECT count(*) AS n_intervals, " +
+        "CAST(sum(CASE WHEN next_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open, " +
+        "CAST(sum(next_sec - sec) AS BIGINT) AS valid_seconds FROM i")),
+
+    // Binned interval join — the NO-equi-key range join done scalably.
+    // A naive `p.dt BETWEEN iv.s AND iv.s+7d` join has no equi condition,
+    // so Spark plans a nested-loop/cartesian — O(n·m) and a non-starter
+    // at 100 TB. The standard rewrite: quantize time into fixed bins,
+    // EXPLODE each interval into the (≤2) bins it overlaps, bin each
+    // probe row, equi-join on the bin, then refine with the exact range
+    // predicate. Each qualifying pair meets in exactly one bin (the
+    // probe's), so no dedup is needed. Probe side is pre-aggregated to
+    // per-date counts first — partial aggregation before the join, the
+    // same at any scale. PlanSpec pins the no-nested-loop shape.
+    QuerySpec("q90_binned_interval_join",
+      (s, d) => {
+        val binDays = 7L
+        val iv = t(s, d, "orders").select(col("o_orderdate")).distinct()
+          .withColumn("sday", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+          .withColumn("bin", explode(expr(
+            s"sequence(sday div $binDays, (sday + ${binDays - 1}) div $binDays)")))
+        val probe = t(s, d, "lineitem").groupBy("l_shipdate")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("pday", datediff(col("l_shipdate"), lit("1970-01-01")).cast("long"))
+          .withColumn("bin", expr(s"pday div $binDays"))
+        iv.join(probe, iv("bin") === probe("bin")
+            && probe("pday") >= iv("sday") && probe("pday") < iv("sday") + binDays)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("cnt").as("n_items"),
+            sum(col("pday") * col("cnt")).as("checksum"))
+      },
+      Some("WITH iv AS (SELECT DISTINCT o_orderdate AS s FROM orders), " +
+        "p AS (SELECT l_shipdate AS dt, count(*) AS cnt FROM lineitem GROUP BY 1) " +
+        "SELECT count(*) AS n_pairs, CAST(sum(cnt) AS BIGINT) AS n_items, " +
+        "CAST(sum(datediff('day', DATE '1970-01-01', dt) * cnt) AS BIGINT) AS checksum " +
+        "FROM iv JOIN p ON p.dt >= iv.s AND p.dt < iv.s + INTERVAL 7 DAY")),
 
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",

@@ -322,6 +322,60 @@ object Streams {
         "FROM events WHERE event_type = 'click' " +
         "GROUP BY 1 ORDER BY day")),
 
+    // Incremental CDC materialization via foreachBatch: each micro-batch
+    // is reduced to its latest-row-per-key, then MERGEd with the running
+    // snapshot (union → keep max (sec, event_id) per key) — the
+    // latest-wins upsert is associative over any batch slicing, so the
+    // final snapshot must equal batch q86 computed over all history at
+    // once; the shared oracle is the contract. Snapshot versions are
+    // full rewrites into per-batch dirs (the open-format stand-in for
+    // MERGE INTO on a Delta/Iceberg table, which this environment lacks);
+    // at 100 TB the union+window rewrite IS what a copy-on-write MERGE
+    // executes, partitioned by key range instead of monolithically.
+    QuerySpec("s_incremental_snapshot",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sub = sinkRoot.resolve(UUID.randomUUID().toString)
+        val snap = sub.resolve("snapshot").toString
+        val ckpt = sub.resolve("ckpt").toString
+        val dir = replayDir(s, d, chunks = 8)
+        var current: Option[String] = None // driver-side: foreachBatch runs on the driver
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("sec").desc, col("event_id").desc)
+        def latest(df: DataFrame): DataFrame = df
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("user_id", "event_type", "sec", "event_id")
+        try {
+          val schema = Tables(s, d, "events").schema
+          val q = s.readStream.schema(schema).parquet(dir)
+            .select(col("user_id"), col("event_type"),
+              expr("date_trunc('second', ts)").as("sec"), col("event_id"))
+            .writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val merged = current match {
+                case Some(prev) => latest(s.read.parquet(prev).unionByName(latest(batch)))
+                case None       => latest(batch)
+              }
+              val v = s"$snap/v$batchId"
+              merged.write.mode("overwrite").parquet(v)
+              current = Some(v)
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").start()
+          q.processAllAvailable(); q.stop()
+        } finally graft.TmpFiles.deleteRecursively(dir)
+        s.read.parquet(current.get)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+          .orderBy("event_type")
+      },
+      Some("WITH r AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)) DESC, " +
+        "event_id DESC) AS rn FROM events) " +
+        "SELECT event_type, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_checksum " +
+        "FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.

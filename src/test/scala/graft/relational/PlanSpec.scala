@@ -44,6 +44,12 @@ class PlanSpec extends SparkSuite {
       s"batch ANN must join on bucket keys:\n$p")
   }
 
+  test("q90 binned interval join: equi-join on the bin, never a nested loop") {
+    val p = plan("q90_binned_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must meet on the time bin:\n$p")
+  }
+
   test("q85: the source predicate resolves from directory names, not data") {
     val p = plan("q85_partitioned_pruning")
     val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

@@ -44,6 +44,23 @@ class RelationalGapsSpec extends SparkSuite {
     }
   }
 
+  test("q89 per-group HLL sketches union to the whole-corpus estimate") {
+    // The property that makes sketches the 100 TB answer: union of the
+    // per-group sketches must equal a sketch built over the whole corpus
+    // in one pass (no loss from partial/merge), and both must estimate
+    // the true cardinality within 5%.
+    val rows = RelationalSuite.byName("q89_hll_merge").run(spark, sf).collect()
+    val merged = rows.find(_.getString(0) == "__merged__").get.getLong(1)
+    val direct = Tables(spark, sf, "events")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .head().getLong(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    val exact = Tables(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("every declared query runs at sf0.001 and respects its schema") {
     graft.SparkEntry.allSpecs.foreach { spec =>
       val df = spec.run(spark, sf)

@@ -12,6 +12,16 @@ import java.nio.file.Files
 class ScaleTechniquesSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
 
+  /** Set configs for the block, restoring previous values after. */
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val or = Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
@@ -98,6 +108,72 @@ class ScaleTechniquesSpec extends SparkSuite {
       graft.TmpFiles.deleteRecursively(dir)
       graft.TmpFiles.deleteRecursively(s"$dir-dim")
     }
+  }
+
+  test("runtime bloom filter from a filtered dim semi-filters the fact scan") {
+    // Row-level sibling of DPP: when the fact is NOT partitioned by the
+    // join key, Catalyst can still aggregate the filtered dim's surviving
+    // keys into a bloom filter and apply might_contain() on the fact side
+    // BEFORE the join's shuffle — at 100 TB this turns "shuffle every fact
+    // row" into "shuffle the ~selectivity fraction that can match". The
+    // application-side size threshold (10 GB default) is lowered to 0 so
+    // the sf0.001 fact qualifies; broadcast is disabled because the rule
+    // targets shuffle joins (a broadcast join already prunes at the probe).
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    try {
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      Tables(spark, sf, "part").select("p_partkey", "p_brand")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+        val joined = fact.join(dim.filter(col("p_brand") === "Brand#13"),
+          col("l_partkey") === col("p_partkey"))
+        val plan = joined.queryExecution.optimizedPlan.toString
+        assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+          s"expected an injected runtime bloom filter in:\n$plan")
+        val expected = Tables(spark, sf, "lineitem")
+          .join(Tables(spark, sf, "part").filter(col("p_brand") === "Brand#13"),
+            col("l_partkey") === col("p_partkey")).count()
+        assert(joined.count() == expected)
+      }
+    } finally graft.TmpFiles.deleteRecursively(dir)
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // The runtime answer to key skew: one hot key holds ~75% of the fact,
+    // so its shuffle partition dwarfs the median; with skew-join handling
+    // on, AQE splits that partition into sub-ranges joined independently
+    // (the automated form of the manual salting test below). Thresholds
+    // are lowered to make the toy sizes register as skew.
+    val dir = Files.createTempDirectory("graft-skew").toString
+    try {
+      spark.range(0, 200000).select(
+        when(col("id") < 150000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(0, 1000).select(col("id").as("k2"), (col("id") * 2).as("w"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB") {
+        val j = spark.read.parquet(s"$dir/fact")
+          .join(spark.read.parquet(s"$dir/dim"), col("k") === col("k2"))
+        val n = j.collect().length
+        assert(n == 150000, s"unexpected join cardinality $n")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("skew=true"),
+          s"expected AQE skew-join split in the final plan:\n$plan")
+      }
+    } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
   test("broadcast threshold governs join strategy; explicit hint overrides it") {
