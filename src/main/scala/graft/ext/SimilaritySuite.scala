@@ -148,6 +148,53 @@ object SimilaritySuite {
       .orderBy("probe_id", "rnk")
   }
 
+  /** SemDeDup-style semantic dedup: a KMeans coarse quantizer assigns
+    * every vector to a cell (sample-sized fit + one linear assignment
+    * pass, same shape as [[ivfTopK]]); exact cosine runs only WITHIN
+    * cells, so the pairwise work is Σ|cell|², not n²; any vector with a
+    * lower-id cell-mate at cosine >= tau is dropped (keep-first, same
+    * policy as q68/q69). Deterministic for the fixed seed but not
+    * SQL-expressible (KMeans) → rows-only gate + the planted-cluster
+    * test in SimilaritySpec. The one-row summary is collected eagerly so
+    * the cached vectorized input can be unpersisted before returning.
+    *
+    * At 100 TB the cell assignment replaces the LSH banding as the
+    * candidate generator: cells are the shuffle key, cell sizes are
+    * bounded by nlist tuning, and the refine stays candidate-local. */
+  def semanticDedup(s: SparkSession, d: String, tau: Double, nlist: Int = 16,
+      vecsIn: DataFrame = null): DataFrame = {
+    import s.implicits._
+    val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    val vecs = base.as[(Long, Seq[Double])]
+      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
+      .toDF("vec_id", "features").cache()
+    try {
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
+      val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
+      val model = km.fit(fitInput)
+      val asg = model.transform(vecs).select(col("vec_id"), col("cell"))
+        .join(base, "vec_id")
+        .withColumn("nrm", sqrt(expr("array_dot(arr, arr)")))
+      val a = asg.select(col("cell").as("c1"), col("vec_id").as("a_id"),
+        col("arr").as("a_arr"), col("nrm").as("a_nrm"))
+      val b = asg.select(col("cell").as("c2"), col("vec_id").as("b_id"),
+        col("arr").as("b_arr"), col("nrm").as("b_nrm"))
+      val dropped = a.join(b, col("c1") === col("c2") && col("a_id") < col("b_id"))
+        .filter(expr("array_dot(a_arr, b_arr)") / (col("a_nrm") * col("b_nrm")) >= tau)
+        .select(col("b_id")).distinct()
+      val row = asg.join(dropped, asg("vec_id") === dropped("b_id"), "left_anti")
+        .agg(count(lit(1)).as("n_survivors"), sum("vec_id").as("survivor_checksum"))
+        .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+        .select(col("n_survivors"), col("n_dropped"), col("survivor_checksum"))
+        .head()
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+        .toDF("n_survivors", "n_dropped", "survivor_checksum")
+    } finally { vecs.unpersist(); () }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Exact cosine near-dup pairs on a candidate subset — oracle-checked.
@@ -204,6 +251,10 @@ object SimilaritySuite {
     // mean recall@10 over sampled probes asserted in SimilaritySpec.
     QuerySpec("q70_ann_batch",
       (s, d) => annBatchTopK(s, d, k = 10, probeLimit = 100L),
+      None),
+
+    QuerySpec("q91_semantic_dedup",
+      (s, d) => semanticDedup(s, d, tau = 0.92),
       None),
 
     // Int8 scalar quantization — the 4x storage/bandwidth reduction pass

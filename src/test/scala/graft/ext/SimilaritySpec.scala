@@ -58,6 +58,28 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.6, s"mean recall@10 = $mean over ${recalls.size} probes")
   }
 
+  test("q91 semantic dedup collapses a planted tight cluster to its lowest id") {
+    import spark.implicits._
+    // 60 independent gaussian vectors (64-dim → pairwise cos ≈ 0, far
+    // below tau) plus a planted trio: ids 100/101/102 are the same vector
+    // with tiny noise (cos ≈ 1). KMeans must put the trio in one cell and
+    // the within-cell cosine pass must drop 101 and 102, keeping 100.
+    val rnd = new scala.util.Random(7)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bg = (0L until 60L).map(id => (id, gauss()))
+    val v = gauss()
+    val planted = Seq(100L, 101L, 102L).map(id =>
+      (id, v.map(x => x + rnd.nextGaussian().toFloat * 0.001f)))
+    val df = (bg ++ planted).toDF("vec_id", "embedding")
+    val row = SimilaritySuite.semanticDedup(spark, sf, tau = 0.95, nlist = 4,
+      vecsIn = df).head()
+    val (nSurv, nDrop, checksum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nDrop == 2, s"expected the two later trio members dropped, got $nDrop")
+    assert(nSurv == 61, s"survivors=$nSurv")
+    val expected = (0L until 60L).sum + 100L
+    assert(checksum == expected, s"checksum=$checksum expected=$expected")
+  }
+
   test("int8 quantization error is bounded by half a step per element (q78/q79)") {
     // round-to-nearest with symmetric scale m means every element's
     // reconstruction error is <= m/254 (half of the m/127 step), so the
