@@ -160,6 +160,63 @@ class StreamingSpec extends SparkSuite {
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
+  test("checkpoint recovery: a restarted query resumes state exactly-once") {
+    import spark.implicits._
+    // The fault-tolerance contract a 1000-executor job leans on: stop a
+    // stateful query mid-stream, land more data while it is down, start a
+    // NEW query instance from the same checkpoint + file sink. The commit
+    // log must skip the already-processed batches (no duplicated output)
+    // and the recovered window state must absorb the new chunks — the
+    // final landed table equals the one-shot batch aggregate exactly.
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    try {
+      val ev = graft.Tables(spark, sf, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id"))).cache()
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
+      def writeChunk(i: Int): Unit =
+        chunked.filter(col("chunk") === i)
+          .select("user_id", "ts", "event_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(src)
+      def startQuery() = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("wstart"), col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      writeChunk(1) // the source dir must exist before the stream starts
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      writeChunk(2); q1.processAllAvailable()
+      q1.stop()
+      Seq(3, 4).foreach(writeChunk) // lands while the query is DOWN
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      // Far-future sentinel pushes the watermark past every real window.
+      Seq((-1L, new java.sql.Timestamp(maxTs + 24 * 3600 * 1000L), -1L, "sentinel"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+      q2.processAllAvailable(); q2.stop()
+
+      val got = spark.read.parquet(out)
+        .filter(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want,
+        s"missing: ${want -- got}; duplicated/extra: ${got -- want}")
+    } finally graft.TmpFiles.deleteRecursively(root)
+  }
+
   test("sliding windows: late rows beyond the watermark are dropped (update mode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late-slide").toString
