@@ -273,6 +273,47 @@ object TextSuite {
         "'555-[0-9]{4}', '<PHONE>', 'g')) AS digest " +
         "FROM a ORDER BY doc_id LIMIT 200")),
 
+    // Sparse cosine similarity via an INVERTED-INDEX join — the sparse
+    // twin of q47's dense pairs: docs become (doc, term, tf) postings,
+    // pairs meet on the term (equi-join, shuffle keyed by term), partial
+    // products sum per pair, norms join back. No dense vectors anywhere;
+    // at 100 TB the skew point is stop-term postings lists (cap df or
+    // drop top-df terms) and the pair space is candidate-bounded
+    // upstream — the doc_id cap here is the fixture's stand-in, like
+    // q47/q68. Weights are integer term frequencies, so every dot is an
+    // exact BIGINT and cos = dot/(sqrt·sqrt) is IEEE-identical on both
+    // engines — no float-summation-order hazard (swap in q52's idf
+    // weighting at deployment, where an oracle isn't hashing doubles).
+    QuerySpec("q92_sparse_cosine",
+      (s, d) => {
+        val tf = Tables(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> x <> '')")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val nrm = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("ss"))
+        val a = tf.select(col("doc_id").as("a_id"), col("term"), col("tf").as("tfa"))
+        val b = tf.select(col("doc_id").as("b_id"), col("term"), col("tf").as("tfb"))
+        a.join(b, "term").filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(sum(col("tfa") * col("tfb")).as("dot"))
+          .join(nrm.select(col("doc_id").as("a_id"), col("ss").as("ssa")), "a_id")
+          .join(nrm.select(col("doc_id").as("b_id"), col("ss").as("ssb")), "b_id")
+          .withColumn("cos", round(col("dot") / (sqrt(col("ssa")) * sqrt(col("ssb"))), 6))
+          .orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(50)
+          .select("a_id", "b_id", "dot", "cos")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), " +
+        "x -> x <> '')) AS term FROM documents WHERE doc_id < 300), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "nrm AS (SELECT doc_id, sum(tf * tf) AS ss FROM tf GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(sum(a.tf * b.tf) AS BIGINT) AS dot FROM tf a JOIN tf b " +
+        "ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT d.a_id, d.b_id, d.dot, " +
+        "round(d.dot / (sqrt(na.ss) * sqrt(nb.ss)), 6) AS cos " +
+        "FROM dots d JOIN nrm na ON d.a_id = na.doc_id " +
+        "JOIN nrm nb ON d.b_id = nb.doc_id " +
+        "ORDER BY cos DESC, a_id, b_id LIMIT 50")),
+
     // The full cleaning funnel as ONE declarative query — the composition
     // a pipeline actually ships: normalize (q77) → quality gate → exact
     // dedup on the digit-masked digest (keep lowest doc_id) → repetition
