@@ -758,6 +758,85 @@ object RelationalSuite {
         "CAST(sum(datediff('day', DATE '1970-01-01', dt) * cnt) AS BIGINT) AS checksum " +
         "FROM iv JOIN p ON p.dt >= iv.s AND p.dt < iv.s + INTERVAL 7 DAY")),
 
+    // Fuzzy entity resolution — blocked edit-distance matching: pairs are
+    // generated ONLY within a cheap blocking key (first name token), so
+    // the quadratic levenshtein work is per-block, not corpus-wide — the
+    // blocking discipline every 100 TB entity-resolution pass lives by.
+    // Per-distance pair counts + id checksums: all-integer, bit-exact.
+    // (The fixture even contains exact-duplicate p_names: dist 0.)
+    QuerySpec("q93_fuzzy_match",
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_partkey") < 5000)
+          .select(col("p_partkey"), col("p_name"),
+            substring_index(col("p_name"), " ", 1).as("blk"))
+        val a = p.select(col("blk"), col("p_partkey").as("a_id"), col("p_name").as("a_name"))
+        val b = p.select(col("blk"), col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+        a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+          .filter(col("dist") <= 4)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("a_id") + col("b_id")).as("checksum"))
+          .orderBy("dist")
+      },
+      Some("WITH p AS (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk " +
+        "FROM part WHERE p_partkey < 5000), " +
+        "pr AS (SELECT CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist, " +
+        "a.p_partkey + b.p_partkey AS ab FROM p a JOIN p b " +
+        "ON a.blk = b.blk AND a.p_partkey < b.p_partkey) " +
+        "SELECT dist, count(*) AS n_pairs, CAST(sum(ab) AS BIGINT) AS checksum " +
+        "FROM pr WHERE dist <= 4 GROUP BY dist ORDER BY dist")),
+
+    // Time-series gap fill — regularize an irregular event stream onto an
+    // hourly grid and carry the last observation forward (the resample +
+    // ffill every metrics/feature pipeline runs). The grid is a bounded
+    // sequence() explode per key (global hour bounds broadcast from a
+    // 1-row aggregate, never a driver-side collect); the fill is one
+    // last(IGNORE NULLS) window pass per key. Hourly sums are decimal so
+    // the forward-filled checksum is exact on both engines.
+    QuerySpec("q94_gap_fill",
+      (s, d) => {
+        val hours = expr("unix_micros(ts) div 3600000000")
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+          .withColumn("h", hours)
+        val bounds = t(s, d, "events")
+          .agg(min(hours).as("h0"), max(hours).as("h1"))
+        val hourly = ev.groupBy("user_id", "h")
+          .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("v"))
+        val grid = ev.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .withColumn("h", explode(expr("sequence(h0, h1)")))
+          .select("user_id", "h")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("h")
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n").isNotNull, 1L).otherwise(0L)).as("n_obs"),
+            sum(when(col("n").isNull && col("fv").isNotNull, 1L).otherwise(0L))
+              .as("n_gap_filled"),
+            sum(col("fv")).cast("double").as("fill_checksum"))
+          .orderBy("user_id")
+      },
+      Some("WITH allh AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))//3600000000 AS h FROM events), " +
+        "b AS (SELECT min(h) AS h0, max(h) AS h1 FROM allh), " +
+        "e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))//3600000000 AS h, value " +
+        "FROM events WHERE user_id < 20), " +
+        "hourly AS (SELECT user_id, h, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,6))) AS v FROM e GROUP BY 1, 2), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "grid AS (SELECT u.user_id, g.h FROM u CROSS JOIN " +
+        "(SELECT unnest(generate_series(h0, h1)) AS h FROM b) g), " +
+        "j AS (SELECT grid.user_id, grid.h, hourly.n, hourly.v FROM grid " +
+        "LEFT JOIN hourly USING (user_id, h)), " +
+        "f AS (SELECT user_id, h, n, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv FROM j) " +
+        "SELECT user_id, count(*) AS n_hours, " +
+        "CAST(sum(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_obs, " +
+        "CAST(sum(CASE WHEN n IS NULL AND fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_filled, " +
+        "CAST(sum(fv) AS DOUBLE) AS fill_checksum " +
+        "FROM f GROUP BY 1 ORDER BY user_id")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
