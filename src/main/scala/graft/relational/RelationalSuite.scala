@@ -837,6 +837,43 @@ object RelationalSuite {
         "CAST(sum(fv) AS DOUBLE) AS fill_checksum " +
         "FROM f GROUP BY 1 ORDER BY user_id")),
 
+    // UNPIVOT/melt — the inverse of q58's pivot: four metric columns
+    // become (metric, value) rows in one narrow pass (no union of four
+    // scans). Values are cast to decimal BEFORE the melt so the per-metric
+    // sums are exact on both engines.
+    QuerySpec("q95_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_quantity").cast("decimal(18,6)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,6)").as("l_extendedprice"),
+          col("l_discount").cast("decimal(18,6)").as("l_discount"),
+          col("l_tax").cast("decimal(18,6)").as("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum("value").cast("double").as("total"))
+        .orderBy("metric"),
+      Some("SELECT metric, count(*) AS n, CAST(sum(value) AS DOUBLE) AS total FROM (" +
+        "SELECT CAST(l_quantity AS DECIMAL(18,6)) AS l_quantity, " +
+        "CAST(l_extendedprice AS DECIMAL(18,6)) AS l_extendedprice, " +
+        "CAST(l_discount AS DECIMAL(18,6)) AS l_discount, " +
+        "CAST(l_tax AS DECIMAL(18,6)) AS l_tax FROM lineitem) " +
+        "UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax)) " +
+        "GROUP BY metric ORDER BY metric")),
+
+    // Ordered string aggregation (LISTAGG) — collect_list is unordered by
+    // shuffle arrival, so the deterministic form is sort-then-join; the
+    // DuckDB side uses string_agg's ORDER BY clause directly.
+    QuerySpec("q96_string_agg",
+      (s, d) => t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey"),
+      Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, " +
+        "count(*) AS n FROM nation GROUP BY 1 ORDER BY 1")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
