@@ -772,6 +772,12 @@ object RelationalSuite {
         val a = p.select(col("blk"), col("p_partkey").as("a_id"), col("p_name").as("a_name"))
         val b = p.select(col("blk"), col("p_partkey").as("b_id"), col("p_name").as("b_name"))
         a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+          // (A length-difference prune before levenshtein was measured
+          // SLOWER here: blocked pairs already sit at dist <= 6, so the
+          // extra filter discards almost nothing while breaking the
+          // join's codegen pipeline. At a scale where blocks are looser,
+          // re-add `abs(length(a)-length(b)) <= tau` — it lower-bounds
+          // the edit distance, so it never changes results.)
           .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
           .filter(col("dist") <= 4)
           .groupBy("dist")
