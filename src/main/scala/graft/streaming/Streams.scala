@@ -75,6 +75,55 @@ object Streams {
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
+  /** The foreachBatch CDC-merge runner behind `s_incremental_snapshot`,
+    * restart-safe so StreamingSpec can kill and resume it:
+    *  - the current-version pointer is recovered from landed `v<batchId>`
+    *    dirs (max id with a `_SUCCESS` marker), never trusted to driver
+    *    memory surviving a restart;
+    *  - a replayed batch whose version dir already landed is SKIPPED
+    *    (pointer advance only) — re-merging would read and overwrite the
+    *    same dir, and the commit log can re-deliver the last batch after
+    *    a crash. Local-FS checks here; a cluster deployment swaps in the
+    *    Hadoop FileSystem API (or a real table format's commit protocol).
+    * Returns the final snapshot dir. */
+  def runIncrementalSnapshot(s: SparkSession, sfDir: String,
+      srcDir: String, snap: String, ckpt: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec").desc, col("event_id").desc)
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type", "sec", "event_id")
+    def landed(): Option[String] = {
+      val base = new java.io.File(snap)
+      val vs = Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+")
+          && new java.io.File(f, "_SUCCESS").exists())
+      if (vs.isEmpty) None
+      else Some(vs.maxBy(_.getName.drop(1).toLong).getAbsolutePath)
+    }
+    val schema = Tables(s, sfDir, "events").schema
+    val q = s.readStream.schema(schema).parquet(srcDir)
+      .select(col("user_id"), col("event_type"),
+        expr("date_trunc('second', ts)").as("sec"), col("event_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = s"$snap/v$batchId"
+        if (!new java.io.File(v, "_SUCCESS").exists()) {
+          val merged = landed() match {
+            case Some(prev) => latest(s.read.parquet(prev).unionByName(latest(batch)))
+            case None       => latest(batch)
+          }
+          merged.write.mode("overwrite").parquet(v)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    landed().getOrElse(sys.error(s"no snapshot version landed under $snap"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // S1: tumbling 1-hour window + watermark; complete mode ≡ the q25
@@ -334,38 +383,13 @@ object Streams {
     // executes, partitioned by key range instead of monolithically.
     QuerySpec("s_incremental_snapshot",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val sub = sinkRoot.resolve(UUID.randomUUID().toString)
-        val snap = sub.resolve("snapshot").toString
-        val ckpt = sub.resolve("ckpt").toString
         val dir = replayDir(s, d, chunks = 8)
-        var current: Option[String] = None // driver-side: foreachBatch runs on the driver
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("sec").desc, col("event_id").desc)
-        def latest(df: DataFrame): DataFrame = df
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("user_id", "event_type", "sec", "event_id")
-        try {
-          val schema = Tables(s, d, "events").schema
-          val q = s.readStream.schema(schema).parquet(dir)
-            .select(col("user_id"), col("event_type"),
-              expr("date_trunc('second', ts)").as("sec"), col("event_id"))
-            .writeStream
-            .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              val merged = current match {
-                case Some(prev) => latest(s.read.parquet(prev).unionByName(latest(batch)))
-                case None       => latest(batch)
-              }
-              val v = s"$snap/v$batchId"
-              merged.write.mode("overwrite").parquet(v)
-              current = Some(v)
-              ()
-            }
-            .option("checkpointLocation", ckpt)
-            .outputMode("update").start()
-          q.processAllAvailable(); q.stop()
-        } finally graft.TmpFiles.deleteRecursively(dir)
-        s.read.parquet(current.get)
+        val cur =
+          try runIncrementalSnapshot(s, d, dir,
+            sub.resolve("snapshot").toString, sub.resolve("ckpt").toString)
+          finally graft.TmpFiles.deleteRecursively(dir)
+        s.read.parquet(cur)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
           .orderBy("event_type")

@@ -217,6 +217,44 @@ class StreamingSpec extends SparkSuite {
     } finally graft.TmpFiles.deleteRecursively(root)
   }
 
+  test("incremental CDC snapshot survives a restart (pointer recovered from disk)") {
+    import spark.implicits._
+    // Same contract as the checkpoint-recovery test, but for the
+    // foreachBatch merge: run the first half of the log, kill the query,
+    // land the second half, run a FRESH invocation against the same
+    // checkpoint + snapshot root (driver memory gone — the version
+    // pointer must be recovered from landed v-dirs). The final snapshot
+    // must equal the batch latest-per-key over the whole log.
+    val root = Files.createTempDirectory("graft-cdc-restart").toString
+    val src = s"$root/src"; val snap = s"$root/snap"; val ckpt = s"$root/ckpt"
+    try {
+      val ev = graft.Tables(spark, sf, "events")
+      val chunked = ev.withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id"))).cache()
+      def writeChunk(i: Int): Unit =
+        chunked.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(src)
+      Seq(1, 2).foreach(writeChunk)
+      Streams.runIncrementalSnapshot(spark, sf, src, snap, ckpt)
+      Seq(3, 4).foreach(writeChunk) // lands while the pipeline is DOWN
+      val cur = Streams.runIncrementalSnapshot(spark, sf, src, snap, ckpt)
+
+      val got = spark.read.parquet(cur)
+        .select("user_id", "event_type", "sec", "event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(expr("date_trunc('second', ts)").desc, col("event_id").desc)
+      val want = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          expr("date_trunc('second', ts)").as("sec"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(got == want,
+        s"missing: ${want -- got}; stale/extra: ${got -- want}")
+    } finally graft.TmpFiles.deleteRecursively(root)
+  }
+
   test("sliding windows: late rows beyond the watermark are dropped (update mode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late-slide").toString
