@@ -534,6 +534,46 @@ object TextSuite {
         "SELECT t.doc_id AS doc_id, count(DISTINCT t.h) AS shared_grams, " +
         "list_sort(list(DISTINCT e.doc_id)) AS eval_ids " +
         "FROM g t JOIN g e ON t.h = e.h AND t.doc_id >= 10 AND t.doc_id < 190 " +
-        "AND e.doc_id >= 190 GROUP BY t.doc_id ORDER BY doc_id"))
+        "AND e.doc_id >= 190 GROUP BY t.doc_id ORDER BY doc_id")),
+
+    // Vocabulary coverage (Zipf curve) — how many distinct tokens cover
+    // 50/90/99% of all token occurrences: the sizing question every
+    // tokenizer/vocab decision starts from. Corpus-sized work is one
+    // explode + hash-agg; the running-total window then runs over the
+    // VOCAB-sized table only (distinct tokens, orders of magnitude
+    // smaller than the corpus — the global sort is deliberate and
+    // bounded). Thresholds compare integer cross-products (cum*100 vs
+    // total*p), so the knee points are exact on both engines.
+    QuerySpec("q102_vocab_coverage",
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val W = org.apache.spark.sql.expressions.Window
+        val byFreq = W.orderBy(col("c").desc, col("tok"))
+        val w = byFreq.rowsBetween(W.unboundedPreceding, W.currentRow)
+        val tot = counts.agg(sum(col("c")).as("total"))
+        counts
+          .withColumn("r", row_number().over(byFreq).cast("long"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(broadcast(tot))
+          .agg(max(col("total")).as("n_tokens"),
+            count(lit(1)).as("vocab_size"),
+            min(when(col("cum") * 2 >= col("total"), col("r"))).as("v50"),
+            min(when(col("cum") * 10 >= col("total") * 9, col("r"))).as("v90"),
+            min(when(col("cum") * 100 >= col("total") * 99, col("r"))).as("v99"))
+      },
+      Some("WITH tokc AS (SELECT tok, count(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY tok), " +
+        "r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r, " +
+        "sum(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM tokc), t AS (SELECT sum(c) AS total FROM tokc) " +
+        "SELECT CAST(max(total) AS BIGINT) AS n_tokens, count(*) AS vocab_size, " +
+        "CAST(min(CASE WHEN cum * 2 >= total THEN r END) AS BIGINT) AS v50, " +
+        "CAST(min(CASE WHEN cum * 10 >= total * 9 THEN r END) AS BIGINT) AS v90, " +
+        "CAST(min(CASE WHEN cum * 100 >= total * 99 THEN r END) AS BIGINT) AS v99 " +
+        "FROM r CROSS JOIN t"))
   )
 }

@@ -880,6 +880,141 @@ object RelationalSuite {
       Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, " +
         "count(*) AS n FROM nation GROUP BY 1 ORDER BY 1")),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE) — bounded-depth BFS over an
+    // edge list derived from orders, entirely in SQL: each iteration is a
+    // distributed frontier⋈edges join + DISTINCT, so per-level state is
+    // one row per reached node, never per path (the DISTINCT inside the
+    // recursive term is what keeps a depth-4 traversal from exploding
+    // combinatorially at 100 TB). Final min(dist) group-by collapses
+    // re-discoveries to first-visit level. This is the no-GraphX scale
+    // path for fixed-depth reachability.
+    QuerySpec("q97_recursive_cte",
+      (s, d) => s.sql(s"""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+          FROM parquet.`$d/orders.parquet` WHERE o_totalprice > 150000
+        ),
+        hops(node, dist) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+          UNION ALL
+          SELECT DISTINCT e.dst AS node, h.dist + 1 AS dist
+          FROM hops h JOIN e ON e.src = h.node WHERE h.dist < 4
+        )
+        SELECT dist, count(*) AS n_nodes, sum(node) AS checksum
+        FROM (SELECT node, min(dist) AS dist FROM hops GROUP BY node)
+        GROUP BY dist ORDER BY dist"""),
+      Some("WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 1000 AS src, " +
+        "o_orderkey % 1000 AS dst FROM orders WHERE o_totalprice > 150000), " +
+        "hops(node, dist) AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist " +
+        "UNION ALL SELECT DISTINCT e.dst AS node, h.dist + 1 AS dist " +
+        "FROM hops h JOIN e ON e.src = h.node WHERE h.dist < 4) " +
+        "SELECT dist, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS checksum " +
+        "FROM (SELECT node, min(dist) AS dist FROM hops GROUP BY node) " +
+        "GROUP BY dist ORDER BY dist")),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-region top-2
+    // nations by customer count. Catalyst decorrelates the lateral into a
+    // join + per-key window top-k (no per-row re-execution); ties broken
+    // by n_name so the top-2 set is total-ordered on both engines.
+    QuerySpec("q98_lateral_topk",
+      (s, d) => s.sql(s"""
+        SELECT r.r_name, t.n_name, t.c
+        FROM parquet.`$d/region.parquet` r,
+        LATERAL (
+          SELECT n.n_name, count(*) AS c
+          FROM parquet.`$d/nation.parquet` n
+          JOIN parquet.`$d/customer.parquet` cu ON cu.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name ORDER BY c DESC, n.n_name LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.c DESC, t.n_name"""),
+      Some("SELECT r.r_name, t.n_name, t.c FROM region r, " +
+        "LATERAL (SELECT n.n_name, count(*) AS c FROM nation n " +
+        "JOIN customer cu ON cu.c_nationkey = n.n_nationkey " +
+        "WHERE n.n_regionkey = r.r_regionkey " +
+        "GROUP BY n.n_name ORDER BY c DESC, n.n_name LIMIT 2) t " +
+        "ORDER BY r.r_name, t.c DESC, t.n_name")),
+
+    // Correlated scalar subqueries — orders priced above 1.5x their own
+    // customer's average. Catalyst decorrelates both subqueries into one
+    // aggregate-then-join (not a per-row loop). The predicate is cleared
+    // of division: price > 1.5*sum/cnt  ⇔  2*price*cnt > 3*sum, with
+    // decimal cents and bigint counts, so the boundary is exact integer
+    // arithmetic on both engines (no double-rounding tie risk).
+    QuerySpec("q99_correlated_scalar",
+      (s, d) => s.sql(s"""
+        SELECT o_orderpriority, count(*) AS c
+        FROM parquet.`$d/orders.parquet` o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+              (SELECT count(*) FROM parquet.`$d/orders.parquet` i
+               WHERE i.o_custkey = o.o_custkey)
+            > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FROM parquet.`$d/orders.parquet` i
+                   WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      Some("SELECT o_orderpriority, count(*) AS c FROM orders o " +
+        "WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 * " +
+        "(SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) " +
+        "> 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i " +
+        "WHERE i.o_custkey = o.o_custkey) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys
+    // match each other instead of vanishing, the semantics every
+    // nullable-dimension join needs. Still hash-partitionable (NULL is
+    // one key), so it shuffles exactly like an equi-join at scale.
+    QuerySpec("q100_null_safe_join",
+      (s, d) => {
+        val cu = t(s, d, "customer")
+          .select(expr("nullif(c_nationkey % 5, 0)").as("k"))
+        val su = t(s, d, "supplier")
+          .select(expr("nullif(s_nationkey % 5, 0)").as("sk"))
+        cu.join(su, col("k") <=> col("sk"))
+          .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+          .orderBy(asc_nulls_first("k"))
+      },
+      Some("SELECT a.k, count(*) AS n_pairs FROM " +
+        "(SELECT nullif(c_nationkey % 5, 0) AS k FROM customer) a JOIN " +
+        "(SELECT nullif(s_nationkey % 5, 0) AS k FROM supplier) b " +
+        "ON a.k IS NOT DISTINCT FROM b.k " +
+        "GROUP BY a.k ORDER BY a.k NULLS FIRST")),
+
+    // VARIANT semi-structured shredding (Spark 4) — JSON parsed once into
+    // the binary VARIANT encoding, then typed-path extraction with
+    // variant_get: the open-schema ingestion shape (logs/API payloads)
+    // where parsing happens at scan and every downstream access is a
+    // cheap binary probe, not a re-parse. The JSON is built in-query from
+    // integer/string columns so both engines see byte-identical input;
+    // the oracle shreds the same paths with DuckDB's JSON extraction.
+    QuerySpec("q101_variant_shred",
+      (s, d) => t(s, d, "orders")
+        .withColumn("js", concat(
+          lit("{\"k\":"), col("o_orderkey"),
+          lit(",\"s\":\""), col("o_orderstatus"),
+          lit("\",\"y\":"), year(col("o_orderdate")),
+          lit(",\"tags\":["), col("o_custkey") % 7, lit(","),
+          length(col("o_orderpriority")), lit("]}")))
+        .withColumn("v", expr("parse_json(js)"))
+        .select(
+          expr("variant_get(v, '$.y', 'int')").as("y"),
+          expr("variant_get(v, '$.s', 'string')").as("st"),
+          expr("variant_get(v, '$.tags[0]', 'bigint')").as("t0"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy("y", "st")
+        .agg(count(lit(1)).as("n"), sum("t0").as("tag_sum"),
+          sum("k").as("key_sum"))
+        .orderBy("y", "st"),
+      Some("WITH j AS (SELECT '{\"k\":' || CAST(o_orderkey AS VARCHAR) || " +
+        "',\"s\":\"' || o_orderstatus || '\",\"y\":' || " +
+        "CAST(year(o_orderdate) AS VARCHAR) || ',\"tags\":[' || " +
+        "CAST(o_custkey % 7 AS VARCHAR) || ',' || " +
+        "CAST(length(o_orderpriority) AS VARCHAR) || ']}' AS js FROM orders) " +
+        "SELECT CAST(json_extract(js, '$.y') AS INT) AS y, " +
+        "json_extract_string(js, '$.s') AS st, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract(js, '$.tags[0]') AS BIGINT)) AS BIGINT) AS tag_sum, " +
+        "CAST(sum(CAST(json_extract(js, '$.k') AS BIGINT)) AS BIGINT) AS key_sum " +
+        "FROM j GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")

@@ -76,4 +76,28 @@ class PlanSpec extends SparkSuite {
       && !input.contains("tk#"),
       s"document text must not cross the shuffle:\n$input")
   }
+
+  test("q97: recursive CTE executes as an iterative UnionLoop, not a flattened union") {
+    val p = plan("q97_recursive_cte")
+    assert(p.contains("UnionLoop"), s"expected UnionLoop recursion:\n$p")
+  }
+
+  test("q98: LATERAL top-k decorrelates to a window, never a per-row nested loop") {
+    val p = plan("q98_lateral_topk")
+    assert(p.contains("Window"), s"expected decorrelated window top-k:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must not become a nested loop:\n$p")
+  }
+
+  test("q99: correlated scalar subqueries decorrelate into aggregate joins") {
+    val p = plan("q99_correlated_scalar")
+    assert(!p.contains("CartesianProduct"), s"subquery must not re-execute per row:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q100: null-safe equality still hash-joins (NULL is just one key)") {
+    val p = plan("q100_null_safe_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"<=> must plan as an equi-join:\n$p")
+  }
 }
