@@ -400,6 +400,39 @@ object Streams {
         "SELECT event_type, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_checksum " +
         "FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type")),
 
+    // S6: STATE STORE READER (Spark 4 state data source) — operational
+    // observability for stateful streams: the checkpoint's state store is
+    // read back as a batch DataFrame (format "statestore"), no query
+    // surgery needed. A running per-type aggregation is drained with NO
+    // watermark, so its final state is the complete running aggregate —
+    // which must equal the batch group-by, making the state itself
+    // oracle-checkable. At scale this is how you audit skew (rows per
+    // partition_id), debug stuck keys, or bootstrap a migrated query's
+    // state — without replaying the stream.
+    QuerySpec("s_state_reader",
+      (s, d) => {
+        val sub = sinkRoot.resolve(UUID.randomUUID().toString)
+        val ckpt = sub.resolve("ckpt").toString
+        val dir = replayDir(s, d, chunks = 8)
+        try {
+          val schema = Tables(s, d, "events").schema
+          val q = s.readStream.schema(schema).parquet(dir)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("user_id").as("user_sum"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").start()
+          q.processAllAvailable(); q.stop()
+        } finally graft.TmpFiles.deleteRecursively(dir)
+        s.read.format("statestore").load(ckpt)
+          .select(col("key.event_type").as("event_type"),
+            col("value.count").as("n"), col("value.sum").as("user_sum"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS user_sum FROM events " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     // S3: stateful dedup over an at-least-once replay (every chunk
     // delivered twice); dropDuplicatesWithinWatermark restores
     // exactly-once, so counts equal the batch DISTINCT.
