@@ -116,6 +116,39 @@ object SourceFormats {
       },
       Some("SELECT s_nationkey, count(*) AS c, " +
         "CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
-        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"))
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey")),
+
+    // Small-file compaction — the operational pass every streaming sink's
+    // landing zone needs: 64 tiny files (stand-in for per-micro-batch
+    // output) are rewritten into a few large RANGE-SORTED files.
+    // repartitionByRange gives each output file a disjoint ts range, so
+    // downstream time-filtered scans skip whole files/row-groups on
+    // parquet zone maps; maxRecordsPerFile bounds file size without a
+    // second shuffle. Content must survive the rewrite exactly (this
+    // oracle); CompactionSpec asserts the layout contract — fewer files,
+    // pairwise-disjoint per-file time ranges.
+    QuerySpec("q103_compaction",
+      (s, d) => {
+        val frag = roundTripDir("graft-frag")
+        val compact = roundTripDir("graft-compact")
+        val src = Tables(s, d, "events")
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+        s.read.parquet(frag)
+          .repartitionByRange(4, col("ts"), col("event_id"))
+          .sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 20000)
+          .parquet(compact)
+        s.read.parquet(compact)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"),
+            sum(expr("unix_micros(ts)")).as("ts_checksum"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum, " +
+        "CAST(sum(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_checksum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
   )
 }
