@@ -143,12 +143,15 @@ object SourceFormats {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"),
-            sum(expr("unix_micros(ts)")).as("ts_checksum"))
+            // µs-epoch terms are ~1.7e15, so a raw sum overflows BIGINT
+            // past ~5k rows per group under ANSI mode; a modular sum is
+            // the overflow-proof row-identity checksum at any scale.
+            sum(expr("unix_micros(ts) % 1000000007")).as("ts_checksum"))
           .orderBy("event_type")
       },
       Some("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum, " +
-        "CAST(sum(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_checksum " +
+        "CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000007) AS BIGINT) AS ts_checksum " +
         "FROM events GROUP BY event_type ORDER BY event_type"))
   )
 }
