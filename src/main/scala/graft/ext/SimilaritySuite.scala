@@ -257,6 +257,54 @@ object SimilaritySuite {
       (s, d) => semanticDedup(s, d, tau = 0.92),
       None),
 
+    // Hard-negative mining — the contrastive-training pair generator:
+    // for each anchor, the highest-cosine SAME-label vector (positive)
+    // and the highest-cosine DIFFERENT-label vector (the "hard" negative
+    // that actually teaches the margin). Anchors are a bounded probe set
+    // broadcast against the corpus (q26's no-shuffled-cartesian shape);
+    // at 100 TB the candidate set comes from the q70 bucket join instead
+    // of the full corpus and this exact ranking runs unchanged as the
+    // refine step. Cosines are rounded to 6 dp BEFORE ranking with a
+    // vec_id tie-break, so the argmax is stable across engines.
+    QuerySpec("q105_hard_negatives",
+      (s, d) => {
+        val base = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            sqrt(dot("embedding", "embedding")).as("nrm"))
+        val anchors = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+            col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        val pairs = base.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+          .withColumn("cos",
+            round(expr("array_dot(embedding, a_emb)") / (col("nrm") * col("a_nrm")), 6))
+          .withColumn("same", (col("label") === col("a_label")).cast("int"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "same").orderBy(col("cos").desc, col("vec_id"))
+        pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("a_id")
+          .agg(max(when(col("same") === 1, col("vec_id"))).as("pos_id"),
+            max(when(col("same") === 1, col("cos"))).as("pos_cos"),
+            max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
+            max(when(col("same") === 0, col("cos"))).as("neg_cos"))
+          .orderBy("a_id")
+      },
+      Some("WITH e AS (SELECT vec_id, label, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "a AS (SELECT * FROM e WHERE vec_id < 50), " +
+        "p AS (SELECT a.vec_id AS a_id, e.vec_id AS v_id, " +
+        "CASE WHEN e.label = a.label THEN 1 ELSE 0 END AS same, " +
+        "round(list_sum(list_transform(list_zip(e.embedding, a.embedding), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * a.nrm), 6) AS cos " +
+        "FROM e JOIN a ON e.vec_id <> a.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY a_id, same " +
+        "ORDER BY cos DESC, v_id) AS rn FROM p) " +
+        "SELECT a_id, max(CASE WHEN same = 1 THEN v_id END) AS pos_id, " +
+        "max(CASE WHEN same = 1 THEN cos END) AS pos_cos, " +
+        "max(CASE WHEN same = 0 THEN v_id END) AS neg_id, " +
+        "max(CASE WHEN same = 0 THEN cos END) AS neg_cos " +
+        "FROM r WHERE rn = 1 GROUP BY a_id ORDER BY a_id")),
+
     // Int8 scalar quantization — the 4x storage/bandwidth reduction pass
     // run before shipping embeddings to an ANN index. Symmetric global
     // scale (corpus max-|x|, a one-scalar aggregate broadcast back), then

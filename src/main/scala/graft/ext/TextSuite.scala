@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextSuite {
 
+  // q104 chunk geometry (must precede `specs`: the SQL strings interpolate
+  // these at object construction).
+  private val chunkSize = 64
+  private val chunkStride = 16
+
   private val enList = "('the','a','of','and','to','in','is')"
   private val deList = "('der','die','das','und','ist','nicht')"
   private val frList = "('le','la','les','et','est','une')"
@@ -207,6 +212,39 @@ object TextSuite {
         "FROM documents d JOIN c ON d.source = c.source CROSS JOIN m " +
         "WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) " +
         "% 10000) / 10000.0 < CAST(m.min_cnt AS DOUBLE) / c.cnt " +
+        "GROUP BY d.source ORDER BY source")),
+
+    // Temperature-flattened domain mixing — the N_s^alpha rebalancing
+    // used for multilingual / multi-source training mixes: with
+    // alpha = 0.5 the per-source acceptance rate is sqrt(min_cnt/cnt),
+    // so small sources are upweighted relative to q76's uniform
+    // downsample (alpha = 0). sqrt and division are IEEE correctly
+    // rounded, so the double threshold is bit-identical on both engines
+    // and the md5 gate keeps the same rows everywhere. Same two-pass
+    // shape as q76: tiny per-source stats broadcast back, one linear
+    // filtered scan — the corpus itself never shuffles.
+    QuerySpec("q106_temperature_mix",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        val target = cnts.agg(min("cnt").as("min_cnt"))
+        docs.join(broadcast(cnts), "source").crossJoin(broadcast(target))
+          .withColumn("gate",
+            (conv(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"), 16, 10)
+              .cast("int") % 10000) / lit(10000.0))
+          .filter(col("gate") < sqrt(col("min_cnt") / col("cnt")))
+          .groupBy("source")
+          .agg(max("cnt").as("cnt"), count(lit(1)).as("kept"),
+            sum("doc_id").as("keep_checksum"))
+          .orderBy("source")
+      },
+      Some("WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source), " +
+        "m AS (SELECT min(cnt) AS min_cnt FROM c) " +
+        "SELECT d.source AS source, max(c.cnt) AS cnt, count(*) AS kept, " +
+        "CAST(sum(d.doc_id) AS BIGINT) AS keep_checksum " +
+        "FROM documents d JOIN c ON d.source = c.source CROSS JOIN m " +
+        "WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) " +
+        "% 10000) / 10000.0 < sqrt(CAST(m.min_cnt AS DOUBLE) / c.cnt) " +
         "GROUP BY d.source ORDER BY source")),
 
     // Canonical text normalization — the cleaning stage every dedup key
@@ -574,6 +612,37 @@ object TextSuite {
         "CAST(min(CASE WHEN cum * 2 >= total THEN r END) AS BIGINT) AS v50, " +
         "CAST(min(CASE WHEN cum * 10 >= total * 9 THEN r END) AS BIGINT) AS v90, " +
         "CAST(min(CASE WHEN cum * 100 >= total * 99 THEN r END) AS BIGINT) AS v99 " +
-        "FROM r CROSS JOIN t"))
+        "FROM r CROSS JOIN t")),
+
+    // Overlapping sliding-window chunking (RAG-style retrieval-corpus
+    // prep): every doc becomes 64-token windows at a 16-token stride, so
+    // context stays continuous across chunk boundaries. One explode per
+    // chunk START (n/stride rows per doc, not n per token); the chunk
+    // text never leaves the operator — only its token count and 60-bit
+    // fingerprint do, which is what keeps the pass shuffle-light at
+    // 100 TB.
+    QuerySpec("q104_overlap_chunks",
+      (s, d) => Tables(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr(s"sequence(0, size(tk) - 1, $chunkStride)")).as("start"))
+        .select(col("doc_id"),
+          (col("start") / chunkStride).cast("int").as("chunk_idx"),
+          expr(s"slice(tk, start + 1, $chunkSize)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          expr("CAST(conv(substring(md5(concat_ws(' ', chunk)), 1, 15), 16, 10) AS BIGINT)")
+            .as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk " +
+        s"FROM documents WHERE doc_id < 100), " +
+        s"c AS (SELECT doc_id, CAST(start / $chunkStride AS INT) AS chunk_idx, " +
+        s"list_slice(tk, start + 1, start + $chunkSize) AS chunk FROM " +
+        s"(SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, $chunkStride)) AS start FROM toks)) " +
+        "SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens, " +
+        "CAST(concat('0x', substr(md5(array_to_string(chunk, ' ')), 1, 15)) AS BIGINT) AS chunk_fp " +
+        "FROM c ORDER BY doc_id, chunk_idx"))
   )
 }

@@ -400,6 +400,40 @@ object Streams {
         "SELECT event_type, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_checksum " +
         "FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type")),
 
+    // S7: Trigger.AvailableNow — the run-now-then-stop trigger for
+    // batch-over-stream jobs (successor of the deprecated Trigger.Once,
+    // with RATE LIMITING: maxFilesPerTrigger=2 slices the 8-chunk replay
+    // into multiple bounded micro-batches instead of one giant one). The
+    // query terminates itself at the end of available data and the
+    // result must equal the batch aggregate — the scheduled-backfill
+    // execution mode every incremental pipeline runs on.
+    QuerySpec("s_available_now",
+      (s, d) => {
+        val dir = replayDir(s, d, chunks = 8)
+        val res = try {
+          val schema = Tables(s, d, "events").schema
+          val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("c"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(name)
+        } finally graft.TmpFiles.deleteRecursively(dir)
+        res.select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("window_start"),
+          col("event_type"), col("c"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start, " +
+        "event_type, count(*) AS c FROM events " +
+        "GROUP BY window_start, event_type ORDER BY window_start, event_type")),
+
     // S6: STATE STORE READER (Spark 4 state data source) — operational
     // observability for stateful streams: the checkpoint's state store is
     // read back as a batch DataFrame (format "statestore"), no query
