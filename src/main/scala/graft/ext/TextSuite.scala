@@ -546,12 +546,17 @@ object TextSuite {
     QuerySpec("q73_contamination",
       (s, d) => {
         // Tokenize ONCE, then shingle — the transform lambda must not
-        // re-split the text per position.
+        // re-split the text per position. Docs under 3 tokens are
+        // filtered out BEFORE the sequence: Spark's sequence(1, 0)
+        // descends to [1, 0] and slice(tk, 0, 3) throws under ANSI,
+        // while DuckDB's generate_series(1, 0) is empty — the filter
+        // pins the shared absent-doc semantics.
         val grams = Tables(s, d, "documents")
           .filter(col("doc_id") < 200)
           .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+          .filter(expr("size(tk) >= 3"))
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, greatest(size(tk) - 2, 0)), " +
+            "transform(sequence(1, size(tk) - 2), " +
               "i -> CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, 3))), 1, 15), 16, 10) AS BIGINT))"))
             .as("h"))
           .distinct()
@@ -613,6 +618,44 @@ object TextSuite {
         "CAST(min(CASE WHEN cum * 10 >= total * 9 THEN r END) AS BIGINT) AS v90, " +
         "CAST(min(CASE WHEN cum * 100 >= total * 99 THEN r END) AS BIGINT) AS v99 " +
         "FROM r CROSS JOIN t")),
+
+    // Per-document n-gram novelty — the memorization-risk / boilerplate
+    // metric: the fraction of a doc's distinct trigrams that appear in NO
+    // other document. Corpus-wide work is two shuffles, both keyed on the
+    // 60-bit trigram fingerprint (document-frequency count, then the
+    // join back) — text never crosses the wire, the q75 discipline.
+    // Docs with < 3 tokens are filtered identically on both engines (the
+    // empty-sequence corner differs between Spark and DuckDB otherwise).
+    QuerySpec("q107_novelty",
+      (s, d) => {
+        val grams = Tables(s, d, "documents")
+          .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("tk"))
+          .filter(expr("size(tk) >= 3"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 2), " +
+              "i -> CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, 3))), 1, 15), 16, 10) AS BIGINT))"))
+            .as("h"))
+          .distinct()
+        val freq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        grams.join(freq, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            round(col("n_unique").cast("double") / col("n_grams"), 6))
+          .orderBy("doc_id").limit(300)
+      },
+      Some("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk " +
+        "FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(concat_ws(' ', " +
+        "tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i " +
+        "FROM toks WHERE len(tk) >= 3)), " +
+        "f AS (SELECT h, count(*) AS df FROM g GROUP BY h) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+        "round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty " +
+        "FROM g JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id LIMIT 300")),
 
     // Overlapping sliding-window chunking (RAG-style retrieval-corpus
     // prep): every doc becomes 64-token windows at a 16-token stride, so
