@@ -889,20 +889,29 @@ object RelationalSuite {
     // re-discoveries to first-visit level. This is the no-GraphX scale
     // path for fixed-depth reachability.
     QuerySpec("q97_recursive_cte",
-      (s, d) => s.sql(s"""
-        WITH RECURSIVE e AS (
-          SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
-          FROM parquet.`$d/orders.parquet` WHERE o_totalprice > 150000
-        ),
-        hops(node, dist) AS (
+      (s, d) => {
+        // UnionLoop re-executes the whole recursive-term plan every
+        // iteration, including any CTE it references — so the edge list
+        // (scan + DISTINCT shuffle) would be recomputed per level.
+        // Materialize it ONCE with an eager localCheckpoint: iterations
+        // then read cached blocks, which is exactly the "stage the edge
+        // list to a temp table first" discipline a 100 TB traversal uses.
+        s.sql(s"""SELECT DISTINCT o_custkey % 1000 AS src,
+            o_orderkey % 1000 AS dst
+          FROM parquet.`$d/orders.parquet` WHERE o_totalprice > 150000""")
+          .localCheckpoint()
+          .createOrReplaceTempView("q97_edges")
+        s.sql("""
+        WITH RECURSIVE hops(node, dist) AS (
           SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
           UNION ALL
           SELECT DISTINCT e.dst AS node, h.dist + 1 AS dist
-          FROM hops h JOIN e ON e.src = h.node WHERE h.dist < 4
+          FROM hops h JOIN q97_edges e ON e.src = h.node WHERE h.dist < 4
         )
         SELECT dist, count(*) AS n_nodes, sum(node) AS checksum
         FROM (SELECT node, min(dist) AS dist FROM hops GROUP BY node)
-        GROUP BY dist ORDER BY dist"""),
+        GROUP BY dist ORDER BY dist""")
+      },
       Some("WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 1000 AS src, " +
         "o_orderkey % 1000 AS dst FROM orders WHERE o_totalprice > 150000), " +
         "hops(node, dist) AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist " +

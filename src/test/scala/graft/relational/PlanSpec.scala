@@ -100,4 +100,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"<=> must plan as an equi-join:\n$p")
   }
+
+  test("q105: anchors broadcast — the corpus is never shuffled for the pair join") {
+    val p = plan("q105_hard_negatives")
+    assert(!p.contains("CartesianProduct"), s"pair join must broadcast the anchor side:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }

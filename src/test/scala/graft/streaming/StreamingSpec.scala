@@ -331,4 +331,31 @@ class StreamingSpec extends SparkSuite {
     assert(spark.table(name).filter(col("window.start") === "2024-01-01 00:00:00")
       .count() == 1)
   }
+
+  test("Trigger.AvailableNow actually rate-limits: 8 files drain in multiple batches") {
+    // The point of AvailableNow over Trigger.Once is BOUNDED micro-batches;
+    // if maxFilesPerTrigger were ignored the replay would drain in one
+    // giant batch. The checkpoint's commit log records one entry per
+    // micro-batch — require several.
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    val dir = Streams.replayDir(spark, sf, chunks = 8)
+    try {
+      val schema = graft.Tables(spark, sf, "events").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .count(_.getName.forall(_.isDigit))
+      assert(commits >= 4, s"expected >= 4 rate-limited micro-batches, got $commits")
+    } finally {
+      graft.TmpFiles.deleteRecursively(dir)
+      graft.TmpFiles.deleteRecursively(ckpt)
+    }
+  }
 }
