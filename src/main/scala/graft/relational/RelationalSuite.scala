@@ -1024,6 +1024,63 @@ object RelationalSuite {
         "CAST(sum(CAST(json_extract(js, '$.k') AS BIGINT)) AS BIGINT) AS key_sum " +
         "FROM j GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Time-interval RANGE frame — the rolling-window-by-TIME aggregate
+    // (q64's RANGE frame ranges over a numeric key): each event sees the
+    // count/sum of its user's events in the trailing hour, frame bounds
+    // resolved against the timestamp ORDER BY with a calendar interval.
+    // Peers (equal ts) share a frame on both engines, so the result is
+    // deterministic without a tie-break column. Decimal sums, per-user
+    // partitions — no global sort.
+    QuerySpec("q108_time_range_frame",
+      (s, d) => {
+        val over = "OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        t(s, d, "events").filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("value").cast("decimal(18,6)").as("v"))
+          .select(col("user_id"), col("event_id"),
+            expr(s"count(*) $over").as("n_1h"),
+            expr(s"CAST(sum(v) $over AS DOUBLE)").as("v_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CAST(value AS DECIMAL(18,6)) AS v FROM events WHERE user_id < 10) " +
+        "SELECT user_id, event_id, count(*) OVER w AS n_1h, " +
+        "CAST(sum(v) OVER w AS DOUBLE) AS v_1h FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id")),
+
+    // Cohort retention — the product-analytics staple: users grouped by
+    // signup week, activity counted per week offset. Both engines
+    // truncate to Monday weeks and compute the offset as day-difference
+    // div 7 over the TRUNCATED dates (exact integers — DuckDB's
+    // datediff('week') counts boundary crossings, which only agrees
+    // because both sides are pre-truncated; day div 7 avoids relying on
+    // that). One shuffle on user_id for the cohort join, one for the
+    // (cohort, offset) rollup.
+    QuerySpec("q109_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cohorts = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(date_trunc("week", min("ts")).as("cohort"))
+        ev.join(cohorts, "user_id")
+          .select(col("user_id"), col("cohort"),
+            expr("CAST(datediff(date_trunc('week', ts), cohort) div 7 AS BIGINT)").as("offs"))
+          .filter(col("offs") >= 0).distinct()
+          .groupBy(col("cohort").cast("date").as("cohort_week"), col("offs"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "offs")
+      },
+      Some("WITH s AS (SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, s.cohort, " +
+        "datediff('day', s.cohort, date_trunc('week', CAST(e.ts AS TIMESTAMP))) // 7 AS offs " +
+        "FROM events e JOIN s ON e.user_id = s.user_id) " +
+        "SELECT CAST(cohort AS DATE) AS cohort_week, CAST(offs AS BIGINT) AS offs, " +
+        "count(*) AS n_active FROM a WHERE offs >= 0 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
