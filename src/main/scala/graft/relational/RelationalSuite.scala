@@ -1081,6 +1081,80 @@ object RelationalSuite {
         "count(*) AS n_active FROM a WHERE offs >= 0 " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Clickstream path mining — top session-opening event paths: batch
+    // gaps-and-islands sessionization (the same 10-minute-gap semantics
+    // the streaming suite gates), then each session's first 5 events in
+    // (ts, event_id) order become a '>'-joined path string. Ordered
+    // concat uses the q96 sort-then-join discipline (collect_list order
+    // is shuffle-arrival); sorting structs by the unique per-session rn
+    // makes the path deterministic on both engines.
+    QuerySpec("q110_session_paths",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = t(s, d, "events")
+          .withColumn("prev", lag("ts", 1).over(w))
+          // µs-exact gap test (casting timestamps to long truncates to
+          // seconds and would break sessions the oracle's INTERVAL
+          // comparison keeps together).
+          .withColumn("brk",
+            when(col("prev").isNull ||
+              expr("unix_micros(ts) - unix_micros(prev) >= 600000000"), 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum("brk").over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val rn = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "sess").orderBy("ts", "event_id")
+        sess.withColumn("rn", row_number().over(rn)).filter(col("rn") <= 5)
+          .groupBy("user_id", "sess")
+          .agg(concat_ws(">", expr(
+            "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path")).limit(20)
+      },
+      Some("WITH o AS (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev FROM events), " +
+        "m AS (SELECT user_id, event_type, event_id, ts, sum(CASE WHEN prev IS NULL " +
+        "OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess " +
+        "ORDER BY ts, event_id) AS rn FROM m), " +
+        "p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path " +
+        "FROM r WHERE rn <= 5 GROUP BY user_id, sess) " +
+        "SELECT path, count(*) AS n_sessions FROM p GROUP BY path " +
+        "ORDER BY n_sessions DESC, path LIMIT 20")),
+
+    // Markov transition matrix over the event stream — consecutive
+    // event-type bigrams per user with exact counts and a rounded
+    // row-probability (integer ratio, deterministic): the behavioral
+    // model every "what happens after a click" analysis starts from.
+    // One window pass + one hash aggregate.
+    QuerySpec("q111_markov_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, d, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+        pairs.withColumn("p", round(col("n").cast("double") / sum("n").over(tot), 6))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("WITH o AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type FROM events), " +
+        "c AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM o " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p " +
+        "FROM c ORDER BY prev_type, next_type")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
