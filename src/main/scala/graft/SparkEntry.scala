@@ -14,7 +14,8 @@ object SparkEntry {
     relational.RelationalSuite.specs ++ snap.GraphSuite.specs ++
       ext.TextSuite.specs ++ ext.DedupSuite.specs ++
       ext.SimilaritySuite.specs ++ ext.Multimodal.specs ++
-      streaming.Streams.specs ++ sources.SourceFormats.specs
+      streaming.Streams.specs ++ sources.SourceFormats.specs ++
+      graphx.WeightedPaths.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1155,6 +1155,183 @@ object RelationalSuite {
         "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p " +
         "FROM c ORDER BY prev_type, next_type")),
 
+    // Statistical aggregates (corr / covariance / linear regression) with
+    // an EXACT oracle: both engines first reduce each group to integer
+    // moments — quantity is integral, price is 2-dp, so n, Σx, Σy(cents),
+    // Σx², Σxy, Σy² are exact DECIMAL(38,0) sums (BIGINT Σy² would
+    // overflow past ~1e5 rows/group under ANSI mode — the q103 lesson) —
+    // then apply the IDENTICAL closed-form double expression to the same
+    // exact inputs, so corr/slope/intercept are bit-identical without any
+    // rounding fudge. One partial→final hash aggregate; the builtin
+    // streaming corr/regr_* (different merge order, ~1e-12 drift) are
+    // cross-checked against these exact values in RelationalGapsSpec.
+    QuerySpec("q112_stats_moments",
+      (s, d) => {
+        val xi = "CAST(l_quantity AS BIGINT)"
+        val yi = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            expr(s"sum($xi)").as("sx"),
+            expr(s"sum($yi)").as("sy"),
+            expr(s"sum(CAST($xi * $xi AS DECIMAL(38,0)))").as("sxx"),
+            expr(s"sum(CAST($xi * $yi AS DECIMAL(38,0)))").as("sxy"),
+            expr(s"sum(CAST($yi * $yi AS DECIMAL(38,0)))").as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            expr("CAST(n AS DOUBLE)").as("nd"),
+            expr("CAST(sx AS DOUBLE)").as("sxd"),
+            expr("CAST(sy AS DOUBLE)").as("syd"),
+            expr("CAST(sxx AS DOUBLE)").as("sxxd"),
+            expr("CAST(sxy AS DOUBLE)").as("sxyd"),
+            expr("CAST(syy AS DOUBLE)").as("syyd"))
+          .select(col("l_returnflag"), col("n"),
+            expr("sxd / nd").as("mean_qty"),
+            expr("syd / nd").as("mean_price_cents"),
+            expr("(nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))")
+              .as("corr_qty_price"),
+            expr("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)")
+              .as("slope_cents_per_unit"),
+            expr("(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd")
+              .as("intercept_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+        "sum(xi) AS sx, sum(yi) AS sy, " +
+        "sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx, " +
+        "sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy, " +
+        "sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy FROM (" +
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS xi, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yi " +
+        "FROM lineitem) GROUP BY l_returnflag), " +
+        "md AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+        "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, " +
+        "CAST(syy AS DOUBLE) AS syyd FROM m) " +
+        "SELECT l_returnflag, n, sxd / nd AS mean_qty, " +
+        "syd / nd AS mean_price_cents, " +
+        "(nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS corr_qty_price, " +
+        "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope_cents_per_unit, " +
+        "(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS intercept_cents " +
+        "FROM md ORDER BY l_returnflag")),
+
+    // BPE merge-step candidate counting — the inner loop of tokenizer
+    // training: count every adjacent token pair corpus-wide; the top pair
+    // is what byte-pair encoding would merge next. One explode (n-1 pairs
+    // per doc) into one hash aggregate — only the pair strings shuffle,
+    // and at scale the explode fuses into the scan stage (no intermediate
+    // token-array materialization). Docs with <2 tokens are filtered on
+    // BOTH engines before the index walk: Spark's sequence(1,0) DESCENDS
+    // while DuckDB's generate_series(1,0) is empty (the q107/q73 corner).
+    QuerySpec("q113_bpe_pairs",
+      (s, d) => t(s, d, "documents")
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .filter(expr("size(toks) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(30),
+      Some("WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+        "FROM documents), " +
+        "p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS pair FROM tk WHERE len(toks) >= 2) " +
+        "SELECT pair, count(*) AS c FROM p GROUP BY pair " +
+        "ORDER BY c DESC, pair LIMIT 30")),
+
+    // Data-quality profiling (the Deequ-style "profile this table" pass a
+    // pipeline runs before training): per-column non-null count, exact
+    // distinct count, min/max — ONE scan producing one wide aggregate row,
+    // unpivoted to (column, metrics) rows via stack(). The multiple exact
+    // COUNT(DISTINCT)s expand the scan 6× before the partial aggregate
+    // (Catalyst's Expand); that is the honest cost of exact profiling —
+    // the approximate path at 100 TB swaps in approx_count_distinct (q34)
+    // per column with no expand. Min/max stringify through type-stable
+    // casts (decimal for the double, date for the timestamp) so both
+    // engines format identically.
+    QuerySpec("q115_profile",
+      (s, d) => t(s, d, "orders")
+        .agg(
+          count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+          min(col("o_orderkey")).cast("string").as("mn1"), max(col("o_orderkey")).cast("string").as("mx1"),
+          count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+          min(col("o_custkey")).cast("string").as("mn2"), max(col("o_custkey")).cast("string").as("mx2"),
+          count(col("o_orderstatus")).as("nn3"), countDistinct(col("o_orderstatus")).as("nd3"),
+          min(col("o_orderstatus")).as("mn3"), max(col("o_orderstatus")).as("mx3"),
+          count(col("o_totalprice")).as("nn4"), countDistinct(col("o_totalprice")).as("nd4"),
+          min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mn4"),
+          max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mx4"),
+          count(col("o_orderdate")).as("nn5"), countDistinct(col("o_orderdate")).as("nd5"),
+          min(col("o_orderdate")).cast("date").cast("string").as("mn5"),
+          max(col("o_orderdate")).cast("date").cast("string").as("mx5"),
+          count(col("o_orderpriority")).as("nn6"), countDistinct(col("o_orderpriority")).as("nd6"),
+          min(col("o_orderpriority")).as("mn6"), max(col("o_orderpriority")).as("mx6"))
+        .select(expr("stack(6, " +
+          "'o_orderkey', nn1, nd1, mn1, mx1, " +
+          "'o_custkey', nn2, nd2, mn2, mx2, " +
+          "'o_orderstatus', nn3, nd3, mn3, mx3, " +
+          "'o_totalprice', nn4, nd4, mn4, mx4, " +
+          "'o_orderdate', nn5, nd5, mn5, mx5, " +
+          "'o_orderpriority', nn6, nd6, mn6, mx6) " +
+          "AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+        .orderBy("col_name"),
+      Some("SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull, " +
+        "count(DISTINCT o_orderkey) AS n_distinct, CAST(min(o_orderkey) AS VARCHAR) AS min_s, " +
+        "CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders " +
+        "UNION ALL SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey), " +
+        "CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus), " +
+        "min(o_orderstatus), max(o_orderstatus) FROM orders " +
+        "UNION ALL SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice), " +
+        "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 'o_orderdate', count(o_orderdate), count(DISTINCT o_orderdate), " +
+        "CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR), " +
+        "CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) FROM orders " +
+        "UNION ALL SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority), " +
+        "min(o_orderpriority), max(o_orderpriority) FROM orders " +
+        "ORDER BY col_name")),
+
+    // RFM customer segmentation — recency/frequency/monetary quartiles
+    // via ntile(4), the classic behavioral-cohort builder. Quartile
+    // ORDER BYs carry the customer key as a tie-break (ntile ties are
+    // otherwise arrival-order — the q13 lesson), monetary sums are exact
+    // decimals, and the per-segment revenue goes through the same
+    // decimal→double cast on both engines. Shape: one groupBy(custkey),
+    // three window passes over the 1-row-per-customer aggregate (tiny vs
+    // the orders scan), one final hash agg. The global ntile windows are
+    // the exact small-dim form; when the customer dim itself is huge the
+    // scale variant derives the three cut points from approx_percentile
+    // (q66's mergeable sketch) and broadcasts them back — no global sort.
+    QuerySpec("q116_rfm",
+      (s, d) => {
+        val perCust = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(max("o_orderdate").as("r"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+        val rq = Window.orderBy(col("r").desc, col("o_custkey"))
+        val fq = Window.orderBy(col("f").desc, col("o_custkey"))
+        val mq = Window.orderBy(col("m").desc, col("o_custkey"))
+        perCust
+          .withColumn("r_q", ntile(4).over(rq))
+          .withColumn("f_q", ntile(4).over(fq))
+          .withColumn("m_q", ntile(4).over(mq))
+          .groupBy(expr("CAST(r_q * 100 + f_q * 10 + m_q AS INT)").as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum("m").cast("double").as("revenue"))
+          .orderBy("segment")
+      },
+      Some("WITH pc AS (SELECT o_custkey, max(o_orderdate) AS r, count(*) AS f, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m FROM orders GROUP BY o_custkey), " +
+        "q AS (SELECT o_custkey, m, " +
+        "ntile(4) OVER (ORDER BY r DESC, o_custkey) AS r_q, " +
+        "ntile(4) OVER (ORDER BY f DESC, o_custkey) AS f_q, " +
+        "ntile(4) OVER (ORDER BY m DESC, o_custkey) AS m_q FROM pc) " +
+        "SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment, " +
+        "count(*) AS n_customers, CAST(sum(m) AS DOUBLE) AS revenue FROM q " +
+        "GROUP BY 1 ORDER BY segment")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")

@@ -61,6 +61,35 @@ class RelationalGapsSpec extends SparkSuite {
       s"merged=$merged exact=$exact")
   }
 
+  test("q112 builtin corr/regr agree with the exact-moment closed forms") {
+    // The oracled query derives corr/slope/intercept from exact integer
+    // moments; Spark's builtin streaming aggregates (corr, regr_slope,
+    // regr_intercept) use a different merge order and may drift ~1e-12 —
+    // they must agree with the exact values to 1e-9 relative.
+    val exact = RelationalSuite.byName("q112_stats_moments").run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val builtin = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").as("x"),
+        (col("l_extendedprice") * 100).as("y_cents"))
+      .groupBy("l_returnflag")
+      .agg(corr(col("x"), col("y_cents")).as("c"),
+        regr_slope(col("y_cents"), col("x")).as("sl"),
+        regr_intercept(col("y_cents"), col("x")).as("ic"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == builtin.keySet)
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    exact.foreach { case (k, (c, sl, ic)) =>
+      val (bc, bsl, bic) = builtin(k)
+      assert(close(c, bc), s"$k corr exact=$c builtin=$bc")
+      assert(close(sl, bsl), s"$k slope exact=$sl builtin=$bsl")
+      assert(close(ic, bic), s"$k intercept exact=$ic builtin=$bic")
+    }
+  }
+
   test("every declared query runs at sf0.001 and respects its schema") {
     graft.SparkEntry.allSpecs.foreach { spec =>
       val df = spec.run(spark, sf)
