@@ -15,7 +15,7 @@ object SparkEntry {
       ext.TextSuite.specs ++ ext.DedupSuite.specs ++
       ext.SimilaritySuite.specs ++ ext.Multimodal.specs ++
       streaming.Streams.specs ++ sources.SourceFormats.specs ++
-      graphx.WeightedPaths.specs
+      graphx.WeightedPaths.specs ++ sources.ZOrderLayout.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1332,6 +1332,70 @@ object RelationalSuite {
         "count(*) AS n_customers, CAST(sum(m) AS DOUBLE) AS revenue FROM q " +
         "GROUP BY 1 ORDER BY segment")),
 
+    // TPC-H Q5-shaped star join — the multi-way join-ordering workout:
+    // fact⋈fact (lineitem⋈orders⋈customer) shuffles on equi keys, the
+    // supplier join carries the extra c_nationkey = s_nationkey locality
+    // predicate, and the two dims (nation, region-filtered-to-ASIA)
+    // broadcast. Catalyst owns the order; PlanSpec pins ≥2 broadcast
+    // joins and no nested-loop/cartesian anywhere. Revenue is exact
+    // decimal l_extendedprice*(1-l_discount) on both engines.
+    QuerySpec("q118_star_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        t(s, d, "lineitem")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name")),
+
+    // Deterministic train/val/test split — the corpus partitioning every
+    // training run starts from: an md5 hash gate (q56's engine-agnostic
+    // primitive) assigns 96/2/2% buckets, so the SAME document lands in
+    // the SAME split on any engine, any cluster size, any day. Verified
+    // by per-split counts, exact char sums, and source coverage.
+    QuerySpec("q119_train_split",
+      (s, d) => t(s, d, "documents")
+        .withColumn("split",
+          when(conv(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"), 16, 10)
+            .cast("int") % 100 < 96, "train")
+            .when(conv(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"), 16, 10)
+              .cast("int") % 100 < 98, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("split"),
+      Some("WITH b AS (SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bk " +
+        "FROM documents) " +
+        "SELECT CASE WHEN bk < 96 THEN 'train' WHEN bk < 98 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "count(DISTINCT source) AS n_sources FROM b " +
+        "GROUP BY 1 ORDER BY split")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")

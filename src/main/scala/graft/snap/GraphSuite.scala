@@ -200,6 +200,37 @@ object GraphSuite {
         "(SELECT ego, lbl, count(*) AS sz FROM comp GROUP BY 1, 2) " +
         "GROUP BY ego ORDER BY ego")),
 
+    // Row 43-45 stretch: k-core decomposition (k=10) of the friend-only
+    // graphs — iterative degree peel to a fixpoint. The engine runs
+    // exactly 8 relational peel rounds (degree agg + two semi-joins,
+    // localCheckpointed); the oracle unrolls the SAME 8 rounds as CTE
+    // stages. The fixture converges in ≤5 rounds (validated offline), so
+    // both sides sit at the fixpoint and the extra rounds are no-ops.
+    QuerySpec("g11_kcore",
+      (s, _) => GraphAnalytics.kcore(EgoGraphs.load(s, dataDir).edges,
+        k = 10, rounds = 8),
+      Some {
+        val sb = new StringBuilder
+        sb ++= s"WITH $duckEdges, "
+        sb ++= "ec AS (SELECT DISTINCT ego, least(a,b) AS s, greatest(a,b) AS d FROM e0), "
+        sb ++= "a0 AS (SELECT ego, CAST(s AS BIGINT) AS v, CAST(d AS BIGINT) AS u FROM ec " +
+          "UNION ALL SELECT ego, CAST(d AS BIGINT), CAST(s AS BIGINT) FROM ec), "
+        // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+        // and each round references the previous one three times — the
+        // unrolled 8-round chain would otherwise expand 3^8 copies of the
+        // base scan (observed as an OOM). Materializing makes it linear,
+        // exactly like the engine's per-round localCheckpoint.
+        for (i <- 1 to 8) {
+          sb ++= s"k$i AS MATERIALIZED (SELECT ego, v FROM a${i - 1} GROUP BY ego, v HAVING count(*) >= 10), "
+          sb ++= s"a$i AS MATERIALIZED (SELECT x.ego, x.v, x.u FROM a${i - 1} x " +
+            s"JOIN k$i p ON p.ego = x.ego AND p.v = x.v " +
+            s"JOIN k$i q ON q.ego = x.ego AND q.v = x.u), "
+        }
+        sb.setLength(sb.length - 2) // drop trailing ", "
+        sb ++= " SELECT DISTINCT ego, v AS node FROM a8 ORDER BY ego, node"
+        sb.toString
+      }),
+
     // Row 45 stretch: PageRank over G⁺ — no SQL oracle (iterative agg);
     // invariants asserted in GraphxAnalyticsSpec (mass conservation, ego
     // hub dominance).

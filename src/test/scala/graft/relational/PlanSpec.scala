@@ -101,6 +101,14 @@ class PlanSpec extends SparkSuite {
       s"<=> must plan as an equi-join:\n$p")
   }
 
+  test("q118: star join broadcasts both dims and never nested-loops") {
+    val p = plan("q118_star_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"five-way join must stay equi:\n$p")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts >= 2, s"nation and region must broadcast (saw $broadcasts):\n$p")
+  }
+
   test("q105: anchors broadcast — the corpus is never shuffled for the pair join") {
     val p = plan("q105_hard_negatives")
     assert(!p.contains("CartesianProduct"), s"pair join must broadcast the anchor side:\n$p")
