@@ -247,6 +247,37 @@ object TextSuite {
         "% 10000) / 10000.0 < sqrt(CAST(m.min_cnt AS DOUBLE) / c.cnt) " +
         "GROUP BY d.source ORDER BY source")),
 
+    // Per-document importance sampling — acceptance probability
+    // proportional to a per-ROW weight (length, capped to [100, 2000]),
+    // complementing the per-GROUP rates of q76/q106. The gate stays in
+    // exact INTEGER arithmetic end to end: bucket = md5 mod 10000,
+    // accept iff bucket < 5·w — no doubles anywhere, so the kept set is
+    // identical on any engine at any scale. One linear scan, one hash
+    // agg; checksums are modular (the q103 ANSI-overflow lesson).
+    QuerySpec("q120_weighted_sample",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("w", expr("least(greatest(n_chars, 100), 2000)"))
+        .withColumn("bk",
+          conv(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"), 16, 10)
+            .cast("int") % 10000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("bk") < col("w") * 5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("bk") < col("w") * 5, col("w")).otherwise(0L)).as("kept_weight"),
+          (sum(when(col("bk") < col("w") * 5, col("doc_id") % 1000000007L)
+            .otherwise(0L)) % 1000000007L).as("keep_checksum"))
+        .orderBy("source"),
+      Some("WITH b AS (SELECT source, doc_id, " +
+        "least(greatest(n_chars, 100), 2000) AS w, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 AS bk " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN bk < w * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN bk < w * 5 THEN w ELSE 0 END) AS BIGINT) AS kept_weight, " +
+        "CAST(sum(CASE WHEN bk < w * 5 THEN doc_id % 1000000007 ELSE 0 END) " +
+        "% 1000000007 AS BIGINT) AS keep_checksum " +
+        "FROM b GROUP BY source ORDER BY source")),
+
     // Canonical text normalization — the cleaning stage every dedup key
     // is computed from: lowercase, strip non-alphanumerics, collapse
     // whitespace, and (for the near-dup key) mask digit runs. Emits both
