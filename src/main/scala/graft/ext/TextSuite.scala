@@ -278,6 +278,52 @@ object TextSuite {
         "% 1000000007 AS BIGINT) AS keep_checksum " +
         "FROM b GROUP BY source ORDER BY source")),
 
+    // Token co-occurrence lift (association mining): for the top-20
+    // corpus tokens, how much more often do two tokens share a document
+    // than independence predicts. lift = (c_xy·N)/(c_x·c_y) — ONE
+    // correctly-rounded division of exact integer products, so the
+    // doubles are bit-identical without rounding. The top-20 cut uses
+    // the q27 total order (count desc, token asc). Shape: the postings
+    // list is semi-joined down to 20 tokens BEFORE the doc_id self-join,
+    // so pairs are bounded at C(20,2) per doc — never a corpus-wide
+    // token cross product.
+    QuerySpec("q123_cooccurrence_lift",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val postings = docs
+          .select(col("doc_id"), explode(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("tok"))
+        val top = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok")).limit(20)
+        val p = postings.join(broadcast(top), "tok")
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        p.as("a").join(p.as("b"), col("a.doc_id") === col("b.doc_id") &&
+            col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+          .agg(count(lit(1)).as("c_xy"),
+            max(col("a.df")).as("c_x"), max(col("b.df")).as("c_y"))
+          .crossJoin(broadcast(n))
+          .select(col("tok_a"), col("tok_b"), col("c_xy"),
+            // DECIMAL(38,0) products: c_xy·N and c_x·c_y square past BIGINT
+            // at web-corpus doc counts (the q103/q112 overflow discipline).
+            expr("CAST(CAST(c_xy AS DECIMAL(38,0)) * n_docs AS DOUBLE) / " +
+              "CAST(CAST(c_x AS DECIMAL(38,0)) * c_y AS DOUBLE)").as("lift"))
+          .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+          .limit(30)
+      },
+      Some("WITH po AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok " +
+        "FROM documents), " +
+        "top AS (SELECT tok, count(*) AS df FROM po GROUP BY tok " +
+        "ORDER BY df DESC, tok LIMIT 20), " +
+        "p AS (SELECT po.doc_id, po.tok, top.df FROM po JOIN top ON po.tok = top.tok), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_xy, " +
+        "max(a.df) AS c_x, max(b.df) AS c_y FROM p a JOIN p b " +
+        "ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2) " +
+        "SELECT tok_a, tok_b, c_xy, " +
+        "CAST(CAST(c_xy AS DECIMAL(38,0)) * n_docs AS DOUBLE) / " +
+        "CAST(CAST(c_x AS DECIMAL(38,0)) * c_y AS DOUBLE) AS lift " +
+        "FROM pairs CROSS JOIN n ORDER BY lift DESC, tok_a, tok_b LIMIT 30")),
+
     // Canonical text normalization — the cleaning stage every dedup key
     // is computed from: lowercase, strip non-alphanumerics, collapse
     // whitespace, and (for the near-dup key) mask digit runs. Emits both

@@ -1396,6 +1396,82 @@ object RelationalSuite {
         "count(DISTINCT source) AS n_sources FROM b " +
         "GROUP BY 1 ORDER BY split")),
 
+    // Volume-anomaly detection over the event stream — hourly counts
+    // z-scored against the corpus mean/std. The moments (n, Σc, Σc²) are
+    // exact integers, and mean/std/z are the IDENTICAL double expression
+    // on both engines (division and sqrt are IEEE correctly rounded), so
+    // even the flag boundary is deterministic — no rounding fudge. Shape:
+    // one hash agg to hours, tiny moment aggregate broadcast back, linear
+    // scan over the hour table. The monitoring query every ingestion
+    // pipeline runs.
+    QuerySpec("q121_anomaly_hours",
+      (s, d) => {
+        val hours = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("c"))
+        // Σc² as DECIMAL(38,0): hourly counts at real scale square past
+        // BIGINT under ANSI mode (the q103/q112 overflow discipline).
+        val m = hours.agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("ss"))
+        hours.crossJoin(broadcast(m))
+          .select(col("hour"), col("c"),
+            expr("(CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+              "sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / " +
+              "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))").as("z"))
+          .filter(abs(col("z")) > 2.5)
+          .orderBy("hour")
+      },
+      Some("WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, " +
+        "count(*) AS c FROM events GROUP BY 1), " +
+        "m AS (SELECT count(*) AS n, sum(c) AS sc, sum(CAST(c * c AS DECIMAL(38,0))) AS ss FROM h), " +
+        "z AS (SELECT hour, c, " +
+        "(CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS z " +
+        "FROM h CROSS JOIN m) " +
+        "SELECT hour, c, z FROM z WHERE abs(z) > 2.5 ORDER BY hour")),
+
+    // Chi-square contingency table (market segment × order priority) —
+    // the association test behind every "is this mix shifted" check.
+    // Observed counts, marginals and N are exact integers; expected and
+    // per-cell contribution are the identical double expression on both
+    // engines. Deliberately NO global chi² sum: summing irrational
+    // doubles is order-sensitive across partitions, so the per-cell
+    // table (which the analyst wants anyway) is the deterministic
+    // contract. Shape: one fact join + hash agg, marginals broadcast.
+    QuerySpec("q122_chisq_contingency",
+      (s, d) => {
+        val obs = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderpriority")
+          .agg(count(lit(1)).as("obs"))
+        val row = obs.groupBy("c_mktsegment").agg(sum("obs").as("row_n"))
+        val colm = obs.groupBy("o_orderpriority").agg(sum("obs").as("col_n"))
+        val tot = obs.agg(sum("obs").as("n"))
+        obs.join(broadcast(row), "c_mktsegment")
+          .join(broadcast(colm), "o_orderpriority")
+          .crossJoin(broadcast(tot))
+          .select(col("c_mktsegment"), col("o_orderpriority"), col("obs"),
+            expr("CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)").as("expected"),
+            expr("(CAST(obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+              "(CAST(obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+              "(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))").as("contrib"))
+          .orderBy("c_mktsegment", "o_orderpriority")
+      },
+      Some("WITH obs AS (SELECT c_mktsegment, o_orderpriority, count(*) AS obs " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "r AS (SELECT c_mktsegment, sum(obs) AS row_n FROM obs GROUP BY 1), " +
+        "c AS (SELECT o_orderpriority, sum(obs) AS col_n FROM obs GROUP BY 1), " +
+        "t AS (SELECT sum(obs) AS n FROM obs) " +
+        "SELECT obs.c_mktsegment, obs.o_orderpriority, obs.obs, " +
+        "CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE) AS expected, " +
+        "(CAST(obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(obs AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib " +
+        "FROM obs JOIN r ON obs.c_mktsegment = r.c_mktsegment " +
+        "JOIN c ON obs.o_orderpriority = c.o_orderpriority CROSS JOIN t " +
+        "ORDER BY 1, 2")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
