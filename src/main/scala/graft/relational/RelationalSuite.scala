@@ -1472,6 +1472,41 @@ object RelationalSuite {
         "JOIN c ON obs.o_orderpriority = c.o_orderpriority CROSS JOIN t " +
         "ORDER BY 1, 2")),
 
+    // Robust outlier detection via median absolute deviation — the
+    // quality gate that survives heavy-tailed data where q121's z-score
+    // doesn't. Median and MAD are exact: quantities are integral so both
+    // quantile interpolations land on exact halves (q55 established the
+    // percentile == quantile_cont equivalence), deviations are exact
+    // binary fractions, and the 3×MAD comparison is exact arithmetic on
+    // them. Shape: two grouped quantile passes (group median broadcast
+    // back between them) + one conditional aggregation.
+    QuerySpec("q124_mad_outliers",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        val dev = li.join(broadcast(med), "l_returnflag")
+          .withColumn("dev", abs(col("l_quantity") - col("med")))
+        val mad = dev.groupBy("l_returnflag")
+          .agg(max("med").as("med"), expr("percentile(dev, 0.5)").as("mad"))
+        dev.drop("med").join(broadcast(mad), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(max("med").as("med"), max("mad").as("mad"),
+            sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med " +
+        "FROM lineitem GROUP BY 1), " +
+        "dev AS (SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dev, m.med " +
+        "FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag), " +
+        "mad AS (SELECT l_returnflag, max(med) AS med, quantile_cont(dev, 0.5) AS mad " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT d.l_returnflag, max(m.med) AS med, max(m.mad) AS mad, " +
+        "CAST(sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "count(*) AS n FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
