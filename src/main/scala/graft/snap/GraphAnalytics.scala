@@ -33,15 +33,28 @@ object GraphAnalytics {
     * 100 TB this is the same shape CC takes: a handful of shuffle-bounded
     * passes over a shrinking edge list. */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // Volume-sized partitions before iterating (the GraphxAnalytics
+    // lesson): the ten-ego adjacency is ~60k rows, and every peel round
+    // pays per-partition scheduling on three shuffles.
     var adj = adjacency(edges)
       .select(col("ego"), col("v").cast("long").as("v"), col("u").cast("long").as("u"))
-    for (_ <- 1 to rounds) {
+      .coalesce(4).localCheckpoint()
+    var prev = -1L
+    var cur = adj.count()
+    var r = 0
+    // Early exit at the fixpoint is result-identical to running all
+    // `rounds` rounds (a converged peel is a no-op), so the unrolled
+    // oracle still matches; the bound caps the oracle's CTE depth.
+    while (r < rounds && cur != prev) {
       val keep = adj.groupBy("ego", "v").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("ego", "v")
       adj = adj
         .join(keep, Seq("ego", "v"), "left_semi")
         .join(keep.withColumnRenamed("v", "u"), Seq("ego", "u"), "left_semi")
         .localCheckpoint()
+      prev = cur
+      cur = adj.count()
+      r += 1
     }
     adj.select(col("ego"), col("v").as("node")).distinct().orderBy("ego", "node")
   }

@@ -201,11 +201,12 @@ object GraphSuite {
         "GROUP BY ego ORDER BY ego")),
 
     // Row 43-45 stretch: k-core decomposition (k=10) of the friend-only
-    // graphs — iterative degree peel to a fixpoint. The engine runs
-    // exactly 8 relational peel rounds (degree agg + two semi-joins,
-    // localCheckpointed); the oracle unrolls the SAME 8 rounds as CTE
-    // stages. The fixture converges in ≤5 rounds (validated offline), so
-    // both sides sit at the fixpoint and the extra rounds are no-ops.
+    // graphs — iterative degree peel (degree agg + two semi-joins per
+    // round, localCheckpointed) run to the fixpoint with an 8-round cap;
+    // the oracle unrolls 8 rounds as CTE stages. Early exit at the
+    // fixpoint is result-identical (a converged peel is a no-op), and
+    // the fixture converges in ≤5 rounds (validated offline), so both
+    // sides sit at the same fixpoint.
     QuerySpec("g11_kcore",
       (s, _) => GraphAnalytics.kcore(EgoGraphs.load(s, dataDir).edges,
         k = 10, rounds = 8),

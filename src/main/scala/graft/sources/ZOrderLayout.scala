@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * bits of two sort keys gives every range-partitioned file a bounded
   * rectangle in BOTH dimensions, so min/max zone maps prune on either
   * predicate (a plain sort bounds only its leading column). The
-  * interleave is one codegen'd higher-order-function fold — no UDF, no
+  * interleave is a handful of flat codegen'd shift/mask ops — no UDF, no
   * shuffle beyond the final repartitionByRange write.
   *
   * Production note: 16-bit coordinates cover the fixture's key ranges;
@@ -20,13 +20,23 @@ import org.apache.spark.sql.functions._
 object ZOrderLayout {
 
   /** Morton-interleave of the low 16 bits of two BIGINT columns: bit i of
-    * x lands at z-bit 2i, bit i of y at 2i+1. */
-  def zExpr(x: String, y: String): String =
-    s"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> acc + " +
-      s"shiftleft(shiftright($x, i) & 1, 2*i) + shiftleft(shiftright($y, i) & 1, 2*i+1))"
-
-  def withZ(df: DataFrame, x: String, y: String): DataFrame =
-    df.withColumn("z", expr(zExpr(x, y)))
+    * x lands at z-bit 2i, bit i of y at 2i+1. Implemented as the 4-step
+    * magic-mask bit spread (5 shift/mask ops per coordinate) instead of a
+    * 16-iteration per-bit fold — same values, ~16× less per-row work, all
+    * flat codegen'd integer ops. The DuckDB oracle keeps the independent
+    * per-bit-loop formulation, so the two sides derive the interleave two
+    * different ways and must still agree bit-for-bit. */
+  def withZ(df: DataFrame, x: String, y: String): DataFrame = {
+    def spread(src: String, out: String)(d: DataFrame): DataFrame = d
+      .withColumn(out, expr(s"$src & 65535"))
+      .withColumn(out, expr(s"($out | shiftleft($out, 8)) & 16711935"))     // 0x00FF00FF
+      .withColumn(out, expr(s"($out | shiftleft($out, 4)) & 252645135"))    // 0x0F0F0F0F
+      .withColumn(out, expr(s"($out | shiftleft($out, 2)) & 858993459"))    // 0x33333333
+      .withColumn(out, expr(s"($out | shiftleft($out, 1)) & 1431655765"))   // 0x55555555
+    spread(y, "zy")(spread(x, "zx")(df))
+      .withColumn("z", expr("zx + 2 * zy"))
+      .drop("zx", "zy")
+  }
 
   /** Write `df` z-ordered on (x, y): range-partition + sort by the
     * interleaved key, so each output file owns a contiguous z range — a
