@@ -107,6 +107,26 @@ object GraphxAnalytics {
       .orderBy("ego")
   }
 
+  /** (name, rank) — personalized PageRank on one ego's friend-only graph
+    * from its minimum node id: random walks teleport back to the SOURCE
+    * instead of everywhere, so rank measures proximity to it — the
+    * "related accounts" / local-relevance primitive. Deterministic source
+    * choice (min vertex id), fixed iterations; no SQL oracle (iterative
+    * personalized mass distribution) — invariants are pinned in
+    * GraphxAnalyticsSpec: the source dominates, ranks are non-negative,
+    * and mass stays strictly inside the source's connected component. */
+  def personalizedRanks(s: SparkSession, dataDir: String, ego: String,
+      iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val g = friendGraph(s, dataDir, Seq(ego), withEgoCenter = false)
+    val src = g.vertices.map(_._1).min()
+    val pr = g.staticPersonalizedPageRank(src, iters).vertices
+      .map { case (vid, r) => ((vid % Offset).toString, r) }
+    pr.toDF("name", "rank")
+      .select(col("name"), round(col("rank"), 6).as("rank"))
+      .orderBy("name")
+  }
+
   /** (ego, name, rank) — static PageRank over G⁺ (ego spokes included). */
   def pageranks(s: SparkSession, dataDir: String, egos: Seq[String],
       iters: Int = 10): DataFrame = {

@@ -1507,6 +1507,74 @@ object RelationalSuite {
         "count(*) AS n FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // ANSI ordered-set aggregates: PERCENTILE_DISC / PERCENTILE_CONT via
+    // WITHIN GROUP (ORDER BY ...) plus the median() shorthand — the
+    // discrete quantile returns an ACTUAL data value (smallest value at
+    // CDF ≥ p, identical ANSI semantics in DuckDB's quantile_disc), so
+    // on integral quantities everything here is exact.
+    QuerySpec("q125_percentile_disc",
+      (s, d) => s.sql(s"""
+        SELECT l_returnflag,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_p50_disc,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS qty_p90_disc,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_p50_cont,
+          median(l_quantity) AS qty_median
+        FROM parquet.`$d/lineitem.parquet`
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("SELECT l_returnflag, " +
+        "quantile_disc(l_quantity, 0.5) AS qty_p50_disc, " +
+        "quantile_disc(l_quantity, 0.9) AS qty_p90_disc, " +
+        "quantile_cont(l_quantity, 0.5) AS qty_p50_cont, " +
+        "median(l_quantity) AS qty_median " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr) — the
+    // user-extension path that beats even typed Scala UDFs: the body
+    // INLINES into the Catalyst plan (full codegen, pushdown through it),
+    // there is no serialization boundary at all. The scalar returns
+    // DECIMAL so the aggregate stays exact; the oracle re-derives with
+    // the inlined expression — which is precisely what Catalyst executes.
+    QuerySpec("q126_sql_udf",
+      (s, d) => {
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE) " +
+          "RETURNS DECIMAL(23,4) RETURN CAST(p AS DECIMAL(18,2)) * " +
+          "(CAST(1.00 AS DECIMAL(4,2)) - CAST(d AS DECIMAL(4,2)))")
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_is_bulk(q DOUBLE) " +
+          "RETURNS BOOLEAN RETURN q >= 30")
+        s.sql(s"""
+          SELECT l_returnflag,
+            count_if(graft_is_bulk(l_quantity)) AS n_bulk,
+            CAST(sum(graft_disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
+          FROM parquet.`$d/lineitem.parquet`
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("SELECT l_returnflag, count_if(l_quantity >= 30) AS n_bulk, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Running distinct users — the growth-dashboard staple, computed the
+    // way it scales: "distinct users up to day d" is NOT a per-day
+    // distinct over a growing set (quadratic) but first-touch attribution
+    // (one groupBy user) + daily new-user counts + a cumulative window
+    // over the tiny day-grain table. Exact integers end to end.
+    QuerySpec("q127_running_users",
+      (s, d) => {
+        val first = t(s, d, "events")
+          .groupBy("user_id").agg(date_trunc("day", min("ts")).as("first_day"))
+        first.groupBy(col("first_day").cast("date").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum("new_users").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day")
+      },
+      Some("WITH f AS (SELECT user_id, CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS DATE) AS day " +
+        "FROM events GROUP BY user_id), " +
+        "dly AS (SELECT day, count(*) AS new_users FROM f GROUP BY day) " +
+        "SELECT day, new_users, CAST(sum(new_users) OVER " +
+        "(ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users " +
+        "FROM dly ORDER BY day")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")

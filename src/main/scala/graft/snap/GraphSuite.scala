@@ -232,6 +232,14 @@ object GraphSuite {
         sb.toString
       }),
 
+    // Row 45 stretch: PERSONALIZED PageRank (proximity to a fixed source
+    // node on ego 698's friend graph) — no SQL oracle (iterative
+    // personalized mass); invariants in GraphxAnalyticsSpec (source
+    // dominates, non-negative, zero mass outside the source's component).
+    QuerySpec("g12_ppr",
+      (s, _) => graft.graphx.GraphxAnalytics.personalizedRanks(s, dataDir, "698"),
+      None),
+
     // Row 45 stretch: PageRank over G⁺ — no SQL oracle (iterative agg);
     // invariants asserted in GraphxAnalyticsSpec (mass conservation, ego
     // hub dominance).

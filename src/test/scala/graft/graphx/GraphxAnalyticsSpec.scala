@@ -22,6 +22,33 @@ class GraphxAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("personalized pagerank: source dominates, mass stays in its component") {
+    val ranks = GraphxAnalytics.personalizedRanks(spark, GraphSuite.dataDir, "698")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.values.forall(_ >= 0.0))
+    // Deterministic source = min node id of the friend graph.
+    val src = ranks.keys.map(_.toLong).min.toString
+    assert(ranks(src) == ranks.values.max,
+      s"source $src rank ${ranks(src)} is not the max")
+    // Zero mass strictly outside the source's connected component: every
+    // node with positive rank must be reachable from the source. Build
+    // reachability from the same canonical edge set.
+    val edges = graft.snap.EgoGraphs.load(spark, GraphSuite.dataDir).edges
+      .filter(col("ego") === "698")
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val seen = scala.collection.mutable.Set(src)
+    var frontier = Set(src)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).diff(seen)
+      seen ++= frontier
+    }
+    val offComponent = ranks.filter { case (n, r) => r > 0.0 && !seen.contains(n) }
+    assert(offComponent.isEmpty, s"mass leaked outside the component: $offComponent")
+  }
+
   test("connected components: ego 348 friend graph is connected, 3980 is not") {
     val cc = GraphxAnalytics.componentStats(spark, GraphSuite.dataDir,
       Seq("348", "3980")).collect()
