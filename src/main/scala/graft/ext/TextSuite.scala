@@ -324,6 +324,47 @@ object TextSuite {
         "CAST(CAST(c_x AS DECIMAL(38,0)) * c_y AS DOUBLE) AS lift " +
         "FROM pairs CROSS JOIN n ORDER BY lift DESC, tok_a, tok_b LIMIT 30")),
 
+    // Sketch-based heavy hitters — approx_top_k (Spark 4's frequent-items
+    // sketch) over the token stream: the one-pass, mergeable answer to
+    // "top tokens" that survives cardinalities where the exact hash agg
+    // (q27) would blow memory. No cross-engine oracle (sketch tie order
+    // is internal); TextGapsSpec pins that with capacity ≥ the fixture
+    // vocabulary the estimated counts equal q27's exact counts.
+    QuerySpec("q128_approx_topk",
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(expr("approx_top_k(tok, 20, 100000)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").as("est"))
+        .orderBy(col("est").desc, col("tok")),
+      None),
+
+    // parse_url scalar battery — host/path/single-query-param extraction,
+    // the first stage of every web-corpus provenance pipeline. URLs are
+    // derived deterministically from doc_id/source on BOTH engines (the
+    // q88 appended-PII discipline: the clean fixture still exercises
+    // every row); DuckDB re-derives the parts with regexes, so the
+    // extraction itself is cross-checked, not just echoed.
+    QuerySpec("q129_url_parse",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("url", expr(
+          "concat('https://', element_at(array('alpha.example.com','beta.example.org'," +
+            "'cdn.example.net','docs.example.io','www.example.dev'), " +
+            "CAST(doc_id % 5 + 1 AS INT)), '/p/', doc_id, '?src=', source, '&id=', doc_id)"))
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'QUERY', 'src')").as("src_param"))
+        .groupBy("host", "src_param").agg(count(lit(1)).as("n"))
+        .orderBy("host", "src_param"),
+      Some("WITH u AS (SELECT 'https://' || " +
+        "(['alpha.example.com','beta.example.org','cdn.example.net'," +
+        "'docs.example.io','www.example.dev'])[CAST(doc_id % 5 + 1 AS INT)] || " +
+        "'/p/' || doc_id || '?src=' || source || '&id=' || doc_id AS url FROM documents) " +
+        "SELECT regexp_extract(url, 'https://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, '[?&]src=([^&]*)', 1) AS src_param, " +
+        "count(*) AS n FROM u GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // Canonical text normalization — the cleaning stage every dedup key
     // is computed from: lowercase, strip non-alphanumerics, collapse
     // whitespace, and (for the near-dup key) mask digit runs. Emits both
