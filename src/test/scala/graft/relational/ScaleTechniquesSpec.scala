@@ -201,6 +201,28 @@ class ScaleTechniquesSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a shared shuffled intermediate is exchanged ONCE (ReusedExchange)") {
+    // Self-joining an aggregate on its own grouping key: both sides need
+    // the same hash-partitioned child, and Catalyst must materialize that
+    // exchange once and reuse it — at 100 TB the difference between one
+    // shuffle of the fact table and two. (A localCheckpoint would also
+    // work but gives up lineage; exchange reuse is the free form.)
+    // Both columns must be referenced from BOTH sides: column pruning
+    // otherwise specializes each side's subtree (one keeps n, the other
+    // q) and there is no identical exchange left to reuse — pruning
+    // legitimately beats reuse. AQE stitches the reuse in at runtime, so
+    // execute first and inspect the final plan.
+    val agg = Tables(spark, sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+    val joined = agg.as("a").join(agg.as("b"), "l_partkey")
+      .select(col("l_partkey"), col("a.n"), col("a.q"), col("b.n").as("n2"), col("b.q").as("q2"))
+    joined.collect() // executes THIS QueryExecution, finalizing the adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the shared aggregate's exchange to be reused:\n$plan")
+  }
+
   test("salted two-phase aggregation == direct aggregation (skew-safe form)") {
     // Phase 1 fans a hot key across 16 salt buckets (partial agg), phase 2
     // combines — exact for algebraic aggregates, and the manual form of
