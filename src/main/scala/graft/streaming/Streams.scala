@@ -142,6 +142,31 @@ object Streams {
         "event_type, count(*) AS c FROM events " +
         "GROUP BY window_start, event_type ORDER BY window_start, event_type")),
 
+    // Sketch aggregate INSIDE streaming state: approx_top_k per 6-hour
+    // tumbling window — the one-pass mergeable heavy-hitters path running
+    // through the streaming aggregation state store (a genuinely
+    // different execution path from q128's batch sketch: partial sketches
+    // live in state and merge across micro-batches). With capacity ≥ the
+    // event-type cardinality the sketch is exact, so the oracle is the
+    // plain per-window count — the window start re-derived by epoch
+    // arithmetic on both engines (no engine-specific bucket origins).
+    QuerySpec("s_windowed_topk",
+      (s, d) => withReplay(s, d, duplicate = false) { stream =>
+        runToMemory(s,
+          stream.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "6 hours"))
+            .agg(expr("approx_top_k(event_type, 10, 100)").as("top")),
+          "complete")
+      }.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        explode(col("top")).as("e"))
+        .select(col("window_start"), col("e.item").as("event_type"), col("e.count").as("c"))
+        .orderBy("window_start", "event_type"),
+      // CAST to BIGINT before the floor-div: DuckDB's // on DOUBLE is
+      // plain division, so the epoch must be integral for the bucketing.
+      Some("SELECT strftime(to_timestamp((CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 21600) * 21600), " +
+        "'%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS c " +
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")),
+
     // S1b: SLIDING 1-hour window every 15 minutes (overlapping — each
     // event lands in 4 windows); complete mode ≡ the batch expansion of
     // each event into its 4 epoch-aligned buckets, which is exactly what

@@ -69,6 +69,26 @@ class GraphxAnalyticsSpec extends SparkSuite {
     assert(viaGraphx == closed)
   }
 
+  test("GraphX triangleCount agrees with the SQL wedge computation (ego 414)") {
+    // Third independent implementation of the neighborhood-edge count:
+    // the SQL wedge self-join (eff, the g03 clustering numerator) vs the
+    // GraphX library's per-vertex triangle counting — per-node triangles
+    // through v == edges among N(v).
+    val edges = graft.snap.EgoGraphs.load(spark, GraphSuite.dataDir).edges
+      .filter(col("ego") === "414")
+    val sqlEff = graft.snap.GraphAnalytics.clustering(edges).collect()
+      .map(r => r.getAs[String]("name").toLong -> r.getAs[Long]("eff")).toMap
+    val tuples = GraphxAnalytics.compositeEdges(
+      spark, GraphSuite.dataDir, Seq("414"), withEgoCenter = false)
+    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(tuples, ())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    val tri = g.triangleCount().vertices.collect().toMap
+    assert(sqlEff.nonEmpty)
+    sqlEff.foreach { case (n, eff) =>
+      assert(tri.getOrElse(n, 0) == eff, s"node $n: graphx=${tri.get(n)} sql=$eff")
+    }
+  }
+
   test("scale guard: no driver-side collect in graph construction paths") {
     // The production graph paths (RDD-built GraphX graphs, distributed
     // σ-combination) must never pull edges or per-vertex state to the
