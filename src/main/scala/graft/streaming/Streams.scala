@@ -161,9 +161,11 @@ object Streams {
         explode(col("top")).as("e"))
         .select(col("window_start"), col("e.item").as("event_type"), col("e.count").as("c"))
         .orderBy("window_start", "event_type"),
-      // CAST to BIGINT before the floor-div: DuckDB's // on DOUBLE is
-      // plain division, so the epoch must be integral for the bucketing.
-      Some("SELECT strftime(to_timestamp((CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 21600) * 21600), " +
+      // Integer µs epoch end to end: DuckDB's // on DOUBLE is plain
+      // division, and CAST(DOUBLE AS BIGINT) ROUNDS (a :59.8 boundary
+      // event would round INTO the next window — caught at sf0.1).
+      // epoch_us is exact BIGINT, so the floor-div is exact arithmetic.
+      Some("SELECT strftime(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600), " +
         "'%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS c " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")),
 
