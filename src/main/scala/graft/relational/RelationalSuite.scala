@@ -1575,6 +1575,32 @@ object RelationalSuite {
         "(ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users " +
         "FROM dly ORDER BY day")),
 
+    // Spark 4 SQL SCRIPTING — a procedural BEGIN…END block with a
+    // session variable computed by a subquery, then used as a predicate:
+    // the "compute a corpus statistic, then filter by it" pattern (q83's
+    // declarative form) written the way a SQL-first user migrating a
+    // stored procedure would. The script's last statement is the result.
+    // Exact: p90 of integral quantities lands on exact values, so the
+    // threshold comparison is exact arithmetic on both engines.
+    QuerySpec("q130_sql_script",
+      (s, d) => {
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        s.sql(s"CREATE OR REPLACE TEMP VIEW q130_li AS " +
+          s"SELECT * FROM parquet.`$d/lineitem.parquet`")
+        s.sql("""
+          BEGIN
+            DECLARE thr DOUBLE DEFAULT 0;
+            SET thr = (SELECT percentile(l_quantity, 0.9) FROM q130_li);
+            SELECT l_returnflag, count(*) AS n_above, thr
+            FROM q130_li WHERE l_quantity > thr
+            GROUP BY l_returnflag, thr ORDER BY l_returnflag;
+          END""")
+      },
+      Some("WITH t AS (SELECT quantile_cont(l_quantity, 0.9) AS thr FROM lineitem) " +
+        "SELECT l_returnflag, count(*) AS n_above, t.thr AS thr " +
+        "FROM lineitem, t WHERE l_quantity > t.thr " +
+        "GROUP BY l_returnflag, t.thr ORDER BY l_returnflag")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
