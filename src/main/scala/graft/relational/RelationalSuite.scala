@@ -1601,6 +1601,77 @@ object RelationalSuite {
         "FROM lineitem, t WHERE l_quantity > t.thr " +
         "GROUP BY l_returnflag, t.thr ORDER BY l_returnflag")),
 
+    // Benford first-digit audit — the classic fabricated-data screen:
+    // the leading digit of every order total, observed count vs the
+    // Benford share. Digit extraction goes through the exact decimal
+    // rendering (never double→string), and the expected share is an
+    // exact-integer ratio times a constant table value, so every column
+    // is deterministic. One scan, one 9-row aggregate.
+    QuerySpec("q131_benford",
+      (s, d) => {
+        val benford = typedLit(Seq(0.301029995663981, 0.176091259055681,
+          0.124938736608300, 0.096910013008056, 0.079181246047625,
+          0.066946789630613, 0.057991946977687, 0.051152522447381,
+          0.045757490560675))
+        t(s, d, "orders")
+          .select(substring(col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(Window.partitionBy()))
+          .select(col("digit"), col("n"),
+            expr("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)").as("share"),
+            element_at(benford, col("digit")).as("benford_share"))
+          .orderBy("digit")
+      },
+      Some("WITH b AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit " +
+        "FROM orders), " +
+        "c AS (SELECT digit, count(*) AS n FROM b GROUP BY digit), " +
+        "t AS (SELECT sum(n) AS total FROM c) " +
+        "SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share, " +
+        "CAST(([0.301029995663981, 0.176091259055681, 0.124938736608300, " +
+        "0.096910013008056, 0.079181246047625, 0.066946789630613, " +
+        "0.057991946977687, 0.051152522447381, 0.045757490560675])[digit] AS DOUBLE) AS benford_share " +
+        "FROM c CROSS JOIN t ORDER BY digit")),
+
+    // Deterministic A/B experiment readout — assignment by md5 gate (the
+    // q56/q119 engine-agnostic split), conversion = any purchase event
+    // after the user's first exposure. Per-variant exposure/conversion
+    // counts are exact integers; the rate and relative lift are single
+    // correctly-rounded divisions of exact integers. The experimentation
+    // loop every data platform ends up running.
+    QuerySpec("q132_ab_experiment",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val exposed = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+          .withColumn("variant",
+            when(conv(expr("substring(md5(CAST(user_id AS STRING)), 1, 4)"), 16, 10)
+              .cast("int") % 2 === 0, "A").otherwise("B"))
+        val converted = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        val conv_users = exposed.join(converted, "user_id")
+          .filter(col("p_ts") > col("first_ts"))
+          .select("user_id").distinct()
+          .withColumn("is_conv", lit(1L))
+        exposed.join(conv_users, Seq("user_id"), "left_outer")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("is_conv"), lit(0L))).as("n_conv"))
+          .select(col("variant"), col("n_users"), col("n_conv"),
+            expr("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)").as("rate"))
+          .orderBy("variant")
+      },
+      Some("WITH e AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts, " +
+        "CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT) % 2 = 0 " +
+        "THEN 'A' ELSE 'B' END AS variant FROM events GROUP BY user_id), " +
+        "cv AS (SELECT DISTINCT p.user_id FROM events p JOIN e " +
+        "ON p.user_id = e.user_id WHERE p.event_type = 'purchase' " +
+        "AND CAST(p.ts AS TIMESTAMP) > e.first_ts) " +
+        "SELECT e.variant, count(*) AS n_users, " +
+        "CAST(count(cv.user_id) AS BIGINT) AS n_conv, " +
+        "CAST(count(cv.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate " +
+        "FROM e LEFT JOIN cv ON e.user_id = cv.user_id " +
+        "GROUP BY e.variant ORDER BY e.variant")),
+
     // ---- text: token counts via explode --------------------------------
     QuerySpec("q27_token_counts",
       (s, d) => t(s, d, "documents")
