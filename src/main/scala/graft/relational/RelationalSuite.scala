@@ -1584,17 +1584,27 @@ object RelationalSuite {
     // threshold comparison is exact arithmetic on both engines.
     QuerySpec("q130_sql_script",
       (s, d) => {
+        // Scope the scripting switch to this query (the Sessions
+        // discipline: no session-wide semantic flags for one query's
+        // sake); it is only consulted at parse time, so restoring it
+        // after s.sql() leaves the returned lazy DataFrame intact.
+        val prev = s.conf.getOption("spark.sql.scripting.enabled")
         s.conf.set("spark.sql.scripting.enabled", "true")
-        s.sql(s"CREATE OR REPLACE TEMP VIEW q130_li AS " +
-          s"SELECT * FROM parquet.`$d/lineitem.parquet`")
-        s.sql("""
-          BEGIN
-            DECLARE thr DOUBLE DEFAULT 0;
-            SET thr = (SELECT percentile(l_quantity, 0.9) FROM q130_li);
-            SELECT l_returnflag, count(*) AS n_above, thr
-            FROM q130_li WHERE l_quantity > thr
-            GROUP BY l_returnflag, thr ORDER BY l_returnflag;
-          END""")
+        try {
+          s.sql(s"CREATE OR REPLACE TEMP VIEW q130_li AS " +
+            s"SELECT * FROM parquet.`$d/lineitem.parquet`")
+          s.sql("""
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 0;
+              SET thr = (SELECT percentile(l_quantity, 0.9) FROM q130_li);
+              SELECT l_returnflag, count(*) AS n_above, thr
+              FROM q130_li WHERE l_quantity > thr
+              GROUP BY l_returnflag, thr ORDER BY l_returnflag;
+            END""")
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
       },
       Some("WITH t AS (SELECT quantile_cont(l_quantity, 0.9) AS thr FROM lineitem) " +
         "SELECT l_returnflag, count(*) AS n_above, t.thr AS thr " +
