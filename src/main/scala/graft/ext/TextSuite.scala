@@ -621,20 +621,36 @@ object TextSuite {
 
     // Concat-and-chunk sequence packing — the GPT-pretraining layout:
     // documents are concatenated in doc_id order and sliced into
-    // fixed-budget context windows. Each doc's token span is a window
-    // over the exclusive prefix sum (one pass, one window sort — at
-    // corpus scale this runs per shard with shard-offset rebasing, the
-    // same arithmetic). Emits where each doc lands: first window, offset
-    // within it, and how many windows it straddles.
+    // fixed-budget context windows. The exclusive prefix sum is SHARDED
+    // (the 100 TB form): per-shard partial sums run partitioned in
+    // parallel, only the shard-grain total table (corpus/shardSize rows,
+    // the one unpartitioned window here — bounded, and two-levelable the
+    // same way if shards themselves got huge) is globally rebased, and
+    // the tiny offset table broadcasts back. Same arithmetic as the
+    // single-sort form, no single-task WindowExec over the corpus.
+    // Emits where each doc lands: first window, offset within it, and
+    // how many windows it straddles. Oracle derived columns are CAST to
+    // BIGINT: DuckDB sum()/'//' yield HUGEINT and the driver hashes
+    // typed values (the q93 checksum discipline).
     QuerySpec("q72_sequence_packing",
       (s, d) => {
         val budget = 2048L
+        val shardSize = 100L
         val W = org.apache.spark.sql.expressions.Window
-        val w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-        Tables(s, d, "documents")
+        val intra = W.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val shardOff = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+        val base = Tables(s, d, "documents")
           .select(col("doc_id"),
             expr("size(filter(split(text, ' '), x -> x <> ''))").cast("bigint").as("n_tok"))
-          .withColumn("tok_start", coalesce(sum("n_tok").over(w), lit(0L)))
+          .withColumn("shard", expr(s"doc_id div $shardSize"))
+        val offsets = base.groupBy("shard").agg(sum("n_tok").as("shard_tok"))
+          .withColumn("off", coalesce(sum("shard_tok").over(shardOff), lit(0L)))
+          .select("shard", "off")
+        base
+          .withColumn("intra", coalesce(sum("n_tok").over(intra), lit(0L)))
+          .join(broadcast(offsets), "shard")
+          .withColumn("tok_start", col("off") + col("intra"))
           .select(col("doc_id"), col("n_tok"), col("tok_start"),
             (col("tok_start") / budget).cast("bigint").as("first_window"),
             (col("tok_start") % budget).as("window_offset"),
@@ -647,9 +663,10 @@ object TextSuite {
         "FROM documents), " +
         "p AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM t) " +
-        "SELECT doc_id, n_tok, tok_start, " +
-        "tok_start // 2048 AS first_window, tok_start % 2048 AS window_offset, " +
-        "(tok_start + n_tok - 1) // 2048 - tok_start // 2048 + 1 AS windows_spanned " +
+        "SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start, " +
+        "CAST(tok_start // 2048 AS BIGINT) AS first_window, " +
+        "CAST(tok_start % 2048 AS BIGINT) AS window_offset, " +
+        "CAST((tok_start + n_tok - 1) // 2048 - tok_start // 2048 + 1 AS BIGINT) AS windows_spanned " +
         "FROM p ORDER BY doc_id")),
 
     // Eval-set decontamination — the industry shape: hash every n-gram
@@ -680,11 +697,17 @@ object TextSuite {
           .distinct()
         val eval_ = grams.filter(col("doc_id") >= 190)
           .select(col("doc_id").as("eval_id"), col("h"))
+        // eval_ids is a comma-joined STRING (sorted numerically BEFORE the
+        // string cast), not an ARRAY: the driver's hash layer sorts rows
+        // through pandas, which cannot hash list cells — same semantics,
+        // hashable row.
         grams.filter(col("doc_id") >= 10 && col("doc_id") < 190).as("t")
           .join(broadcast(eval_), "h")
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("h")).as("shared_grams"),
-            array_sort(collect_set(col("eval_id"))).as("eval_ids"))
+            array_sort(collect_set(col("eval_id"))).as("ids"))
+          .select(col("doc_id"), col("shared_grams"),
+            expr("array_join(transform(ids, x -> CAST(x AS STRING)), ',')").as("eval_ids"))
           .orderBy("doc_id")
       },
       Some("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk " +
@@ -693,7 +716,7 @@ object TextSuite {
         "tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS h " +
         "FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i FROM toks)) " +
         "SELECT t.doc_id AS doc_id, count(DISTINCT t.h) AS shared_grams, " +
-        "list_sort(list(DISTINCT e.doc_id)) AS eval_ids " +
+        "array_to_string(list_sort(list(DISTINCT e.doc_id)), ',') AS eval_ids " +
         "FROM g t JOIN g e ON t.h = e.h AND t.doc_id >= 10 AND t.doc_id < 190 " +
         "AND e.doc_id >= 190 GROUP BY t.doc_id ORDER BY doc_id")),
 

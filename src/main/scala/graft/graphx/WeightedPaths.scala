@@ -35,11 +35,15 @@ object WeightedPaths {
       .select(col("l_partkey").cast("long").as("p"),
         col("l_suppkey").cast("long").as("sk"))
       .distinct()
+    // Cache the edge RDD before the partition-sizing count so the
+    // lineitem scan + distinct runs ONCE, not once for the count and
+    // again when Pregel materializes the graph (DedupSuite's
+    // partition-sizing pattern).
     val tuples = pairs.rdd.flatMap { r =>
       val (p, sk) = (r.getLong(0), r.getLong(1))
       val w = (p + sk) % 7 + 1
       Iterator(Edge(sk, p + PartOffset, w), Edge(p + PartOffset, sk, w))
-    }
+    }.cache()
     val parts = math.max(2,
       math.min(tuples.getNumPartitions, (tuples.count() / 50000L).toInt + 1))
     val g = Graph.fromEdges(tuples.coalesce(parts), Inf)
@@ -49,9 +53,15 @@ object WeightedPaths {
       t => if (t.srcAttr + t.attr < t.dstAttr)
         Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
       math.min)
+    // Materialize the answer BEFORE unpersisting: Pregel's result graph
+    // is what res.vertices reads, and downstream actions (the Verify
+    // dump) must not silently re-run four Bellman-Ford rounds.
     val out = res.vertices.filter(_._2 < Inf).toDF("node", "dist")
+      .orderBy("node").cache()
+    out.count()
     res.unpersist(blocking = false)
-    out.orderBy("node")
+    tuples.unpersist(blocking = false)
+    out
   }
 
   val specs: Seq[QuerySpec] = Seq(

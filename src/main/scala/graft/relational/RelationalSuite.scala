@@ -1298,11 +1298,13 @@ object RelationalSuite {
     // otherwise arrival-order — the q13 lesson), monetary sums are exact
     // decimals, and the per-segment revenue goes through the same
     // decimal→double cast on both engines. Shape: one groupBy(custkey),
-    // three window passes over the 1-row-per-customer aggregate (tiny vs
-    // the orders scan), one final hash agg. The global ntile windows are
-    // the exact small-dim form; when the customer dim itself is huge the
-    // scale variant derives the three cut points from approx_percentile
-    // (q66's mergeable sketch) and broadcasts them back — no global sort.
+    // then three DISTRIBUTED exact ranks over the 1-row-per-customer
+    // aggregate (DistributedRank: range-shuffle + per-partition sort +
+    // broadcast offset rebase — no single-task global window even when
+    // the customer dim is itself huge), ntile(4) recovered from the exact
+    // rank by the standard first-(n mod 4)-buckets-take-ceil(n/4)
+    // formula, one final hash agg. Bit-identical to the window ntile the
+    // oracle runs.
     QuerySpec("q116_rfm",
       (s, d) => {
         val perCust = t(s, d, "orders")
@@ -1310,13 +1312,24 @@ object RelationalSuite {
           .agg(max("o_orderdate").as("r"),
             count(lit(1)).as("f"),
             sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
-        val rq = Window.orderBy(col("r").desc, col("o_custkey"))
-        val fq = Window.orderBy(col("f").desc, col("o_custkey"))
-        val mq = Window.orderBy(col("m").desc, col("o_custkey"))
-        perCust
-          .withColumn("r_q", ntile(4).over(rq))
-          .withColumn("f_q", ntile(4).over(fq))
-          .withColumn("m_q", ntile(4).over(mq))
+        val ranked = Seq(
+          ("r_rank", Seq(col("r").desc, col("o_custkey").asc)),
+          ("f_rank", Seq(col("f").desc, col("o_custkey").asc)),
+          ("m_rank", Seq(col("m").desc, col("o_custkey").asc)))
+          .foldLeft(perCust) { case (df, (out, srt)) =>
+            DistributedRank.withGlobalRank(df, out, srt: _*) }
+        // ntile(k) from the exact 1-based rank: the first n%k buckets
+        // hold n div k + 1 rows, the rest n div k (Spark and DuckDB both
+        // implement this SQL-standard fill). Integer arithmetic only.
+        def ntile4(rank: String): Column = expr(
+          s"CAST(IF($rank <= (nc % 4) * ((nc div 4) + 1), " +
+            s"($rank - 1) div ((nc div 4) + 1) + 1, " +
+            s"(nc % 4) + ($rank - (nc % 4) * ((nc div 4) + 1) - 1) div (nc div 4) + 1) AS INT)")
+        ranked
+          .crossJoin(broadcast(perCust.agg(count(lit(1)).as("nc"))))
+          .withColumn("r_q", ntile4("r_rank"))
+          .withColumn("f_q", ntile4("f_rank"))
+          .withColumn("m_q", ntile4("m_rank"))
           .groupBy(expr("CAST(r_q * 100 + f_q * 10 + m_q AS INT)").as("segment"))
           .agg(count(lit(1)).as("n_customers"),
             sum("m").cast("double").as("revenue"))
@@ -1548,7 +1561,7 @@ object RelationalSuite {
           FROM parquet.`$d/lineitem.parquet`
           GROUP BY l_returnflag ORDER BY l_returnflag""")
       },
-      Some("SELECT l_returnflag, count_if(l_quantity >= 30) AS n_bulk, " +
+      Some("SELECT l_returnflag, CAST(count_if(l_quantity >= 30) AS BIGINT) AS n_bulk, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
