@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
   * local index + 1.
   *
   * Correctness hinges on BOTH branches (ranked rows, per-partition
-  * counts) reading the SAME range exchange: range boundaries are sampled
-  * per exchange instance, so a second physical exchange could draw
-  * different bounds and mis-count. Catalyst's ReuseExchange collapses the
-  * two identical subtrees to one; PlanSpec pins a ReusedExchange node in
-  * q116's plan so a regression is a test failure, not a silent rank skew.
-  * Ranks are otherwise independent of where the sampled boundaries land,
-  * because the caller must pass a TOTAL order (unique tie-break column).
+  * counts) reading the SAME physical range partitioning: range
+  * boundaries are sampled per exchange instance, so two independent
+  * exchanges can draw different bounds and mis-count. Catalyst's
+  * ReuseExchange does NOT guarantee this here — column pruning
+  * specializes the offsets branch (it only needs the partition id) so
+  * the two exchange subtrees are not identical and reuse does not fire.
+  * The frame is therefore materialized exactly once with an eager
+  * localCheckpoint (the q97 static-side pattern; MEMORY_AND_DISK,
+  * GC-managed, spill-safe) and both branches read the frozen
+  * partitions. DistributedRankSpec proves rank == row_number on
+  * shuffled payload-carrying fixtures across partition counts and AQE
+  * settings — the shape that silently mis-ranked before this fix.
+  * Ranks are otherwise independent of where the sampled boundaries
+  * land, because the caller must pass a TOTAL order (unique tie-break
+  * column).
   */
 object DistributedRank {
 
@@ -36,11 +44,15 @@ object DistributedRank {
     val mid = out + "_mid"
     val n = out + "_n"
     val off = out + "_off"
+    // Eagerly materialized: mid/pid are frozen at checkpoint time, so
+    // the offsets branch below counts the exact partitions the ranked
+    // branch reads — one range-boundary sample, not two.
     val sorted = df
       .repartitionByRange(sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn(mid, monotonically_increasing_id())
       .withColumn(pid, spark_partition_id().cast("long"))
+      .localCheckpoint()
     val offW = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sorted.groupBy(pid).agg(count(lit(1)).as(n))
       .withColumn(off, coalesce(sum(n).over(offW), lit(0L)))
