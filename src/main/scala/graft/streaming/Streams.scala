@@ -165,6 +165,9 @@ object Streams {
       // division, and CAST(DOUBLE AS BIGINT) ROUNDS (a :59.8 boundary
       // event would round INTO the next window — caught at sf0.1).
       // epoch_us is exact BIGINT, so the floor-div is exact arithmetic.
+      // ORACLE PRECONDITION: exact-match holds only while the fixture's
+      // distinct event_type count <= k (10) — StreamingSpec pins this at
+      // every SF; a wider fixture fails there, not as a hash mismatch.
       Some("SELECT strftime(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600), " +
         "'%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS c " +
         "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type")),

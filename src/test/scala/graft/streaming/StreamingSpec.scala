@@ -19,6 +19,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("s_windowed_topk oracle precondition: distinct event_type count <= sketch k") {
+    // The exact-match oracle is only valid because approx_top_k(_, k=10,
+    // capacity=100) DEGENERATES to an exact per-window count when the
+    // type cardinality fits inside k — a wider fixture would silently
+    // truncate the streamed side to its top 10 while the oracle keeps
+    // every type. Pin the assumption at every SF the gates run so a
+    // fixture change fails here, not as an opaque hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir, "events.parquet").exists()) {
+      val n = graft.Tables(spark, dir, "events")
+        .select("event_type").distinct().count()
+      assert(n <= 10, s"$dir has $n distinct event types > sketch k=10 — " +
+        "s_windowed_topk's exact oracle no longer holds")
+    }
+  }
+
   test("S3: duplicated replay + dropDuplicatesWithinWatermark == exact distinct") {
     val streamed = Streams.specs.find(_.name == "s_dedup_watermark").get
       .run(spark, sf).collect()
