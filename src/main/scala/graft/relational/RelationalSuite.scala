@@ -1245,8 +1245,8 @@ object RelationalSuite {
     // unpivoted to (column, metrics) rows via stack(). The multiple exact
     // COUNT(DISTINCT)s expand the scan 6× before the partial aggregate
     // (Catalyst's Expand); that is the honest cost of exact profiling —
-    // the approximate path at 100 TB swaps in approx_count_distinct (q34)
-    // per column with no expand. Min/max stringify through type-stable
+    // the approximate path at 100 TB is q133_profile_approx (same shape,
+    // per-column HLL, no expand). Min/max stringify through type-stable
     // casts (decimal for the double, date for the timestamp) so both
     // engines format identically.
     QuerySpec("q115_profile",
@@ -1704,8 +1704,43 @@ object RelationalSuite {
         .orderBy(col("c").desc, col("tok")).limit(20),
       Some("SELECT tok, count(*) AS c FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
-        "WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 20"))
+        "WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 20")),
+
+    // The 100 TB swap-in q115's comment promises, as code: the same
+    // profile shape with per-column approx_count_distinct (HLL) instead
+    // of six exact COUNT(DISTINCT)s — one scan, one partial-merge sketch
+    // per column, no expand. Approximate → rows-only gate;
+    // RelationalGapsSpec bounds every column's estimate within 5% of
+    // exact and asserts the exact fields (counts, min/max) agree with
+    // q115 verbatim.
+    QuerySpec("q133_profile_approx",
+      (s, d) => profileApprox(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")),
+      None)
   )
+
+  /** Parameterized one-scan approximate profiler: count / HLL distinct /
+    * min / max per column, unpivoted to one row per column. The exact
+    * variant (q115) pays a 6-fold scan expand for its six exact
+    * COUNT(DISTINCT)s; this is the shape you run at 100 TB. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"nn$i"),
+        // rsd=0.02: the 5% acceptance bound in RelationalGapsSpec is
+        // then 2.5σ — the default 0.05 sketch misses it on o_orderkey.
+        approx_count_distinct(col(c), 0.02).as(s"nd$i"),
+        min(col(c)).cast("string").as(s"mn$i"),
+        max(col(c)).cast("string").as(s"mx$i"))
+    }
+    val stacked = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', nn$i, nd$i, mn$i, mx$i" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) " +
+        "AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+      .orderBy("col_name")
+  }
 
   def byName(name: String): QuerySpec = specs.find(_.name == name).get
 }

@@ -82,6 +82,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("UnionLoop"), s"expected UnionLoop recursion:\n$p")
   }
 
+  test("q09: range join rides the equi key — no nested loop, range as residual") {
+    // l_orderkey = o_orderkey is the join key; the date-range predicates
+    // must stay residual filters on a hash/merge join, not demote the
+    // join to a per-row nested loop over the fact table.
+    val p = plan("q09_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range predicates must be residual on the equi join:\n$p")
+  }
+
   test("q98: LATERAL top-k decorrelates to a window, never a per-row nested loop") {
     val p = plan("q98_lateral_topk")
     assert(p.contains("Window"), s"expected decorrelated window top-k:\n$p")

@@ -19,6 +19,27 @@ class RelationalGapsSpec extends SparkSuite {
     }
   }
 
+  test("q133 approx profile: exact fields equal exact profile, distincts within 5%") {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val apx = RelationalSuite.byName("q133_profile_approx").run(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(apx.keySet == cols.toSet)
+    val orders = Tables(spark, sf, "orders")
+    cols.foreach { c =>
+      val ex = orders.agg(count(col(c)), countDistinct(col(c)),
+        min(col(c)).cast("string"), max(col(c)).cast("string"))
+        .collect().head
+      val (nn, nd, mn, mx) = apx(c)
+      assert(nn == ex.getLong(0), s"$c n_nonnull")
+      assert(mn == ex.getString(2) && mx == ex.getString(3), s"$c min/max")
+      assert(math.abs(nd - ex.getLong(1)).toDouble / ex.getLong(1) <= 0.05,
+        s"$c: apx=$nd exact=${ex.getLong(1)}")
+    }
+  }
+
   test("q66 approx_percentile within rank-error bound of the exact quantile") {
     // accuracy=1000 bounds the RANK error at n/1000; convert to a value
     // bound by comparing against exact quantiles at p ± 2/1000.
