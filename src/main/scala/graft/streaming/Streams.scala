@@ -124,6 +124,31 @@ object Streams {
     landed().getOrElse(sys.error(s"no snapshot version landed under $snap"))
   }
 
+  /** The s_stream_join transformation over a replayed events stream —
+    * shared by the QuerySpec gate and StreamBench so the benchmarked
+    * plan IS the gated plan. */
+  def intervalJoinFrame(stream: DataFrame): DataFrame = {
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+  }
+
+  /** The s_windowed_topk aggregation (sketch state in the state store) —
+    * shared by the QuerySpec gate and StreamBench. */
+  def windowedTopkFrame(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(expr("approx_top_k(event_type, 10, 100)").as("top"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // S1: tumbling 1-hour window + watermark; complete mode ≡ the q25
@@ -152,11 +177,7 @@ object Streams {
     // arithmetic on both engines (no engine-specific bucket origins).
     QuerySpec("s_windowed_topk",
       (s, d) => withReplay(s, d, duplicate = false) { stream =>
-        runToMemory(s,
-          stream.withWatermark("ts", "1 hour")
-            .groupBy(window(col("ts"), "6 hours"))
-            .agg(expr("approx_top_k(event_type, 10, 100)").as("top")),
-          "complete")
+        runToMemory(s, windowedTopkFrame(stream), "complete")
       }.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         explode(col("top")).as("e"))
         .select(col("window_start"), col("e.item").as("event_type"), col("e.count").as("c"))
@@ -254,20 +275,7 @@ object Streams {
     // identical interval self-join in batch SQL.
     QuerySpec("s_stream_join",
       (s, d) => withReplay(s, d, duplicate = false) { stream =>
-        val clicks = stream.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("click_ts"),
-            col("event_id").as("click_id"))
-          .withWatermark("click_ts", "1 hour")
-        val purchases = stream.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-            col("event_id").as("purchase_id"))
-          .withWatermark("purchase_ts", "1 hour")
-        runToMemory(s,
-          clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("purchase_ts") >= col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES")),
-          "append")
+        runToMemory(s, intervalJoinFrame(stream), "append")
       }.select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id"),
       Some("SELECT c.user_id AS user_id, c.event_id AS click_id, " +

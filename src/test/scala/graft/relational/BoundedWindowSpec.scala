@@ -38,9 +38,14 @@ class BoundedWindowSpec extends SparkSuite {
     * are invisible to the final plan; DistributedRankSpec covers the
     * helper itself, and each instance has the same partition-count
     * grain the final one shows here. */
-  private val allow: Map[String, (String, Long)] = Map(
+  private lazy val allow: Map[String, (String, Long)] = Map(
     // DistributedRank offset rebase: one row per range-shuffle partition.
-    "q116_rfm" -> (("shuffle-partition grain", 64L)),
+    // Derived from the session's shuffle-partition count (itself sized to
+    // SPARK_GRAFT_CPUS), not a constant: running with more CPUs grows the
+    // offsets-window input with it, and a hardcoded 64 would trip spuriously
+    // (2x headroom covers AQE coalesce/split drift around the setting).
+    "q116_rfm" -> (("shuffle-partition grain",
+      2L * spark.conf.get("spark.sql.shuffle.partitions").toLong)),
     // First-touch daily cohort: one row per calendar day with activity.
     "q127_running_users" -> (("calendar-day grain", 366L)),
     // Leading-digit distribution: at most 9 rows, ever.

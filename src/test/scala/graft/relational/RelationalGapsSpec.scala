@@ -19,24 +19,23 @@ class RelationalGapsSpec extends SparkSuite {
     }
   }
 
-  test("q133 approx profile: exact fields equal exact profile, distincts within 5%") {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority")
-    val apx = RelationalSuite.byName("q133_profile_approx").run(spark, sf)
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
-      .toMap
-    assert(apx.keySet == cols.toSet)
-    val orders = Tables(spark, sf, "orders")
-    cols.foreach { c =>
-      val ex = orders.agg(count(col(c)), countDistinct(col(c)),
-        min(col(c)).cast("string"), max(col(c)).cast("string"))
-        .collect().head
-      val (nn, nd, mn, mx) = apx(c)
-      assert(nn == ex.getLong(0), s"$c n_nonnull")
-      assert(mn == ex.getString(2) && mx == ex.getString(3), s"$c min/max")
-      assert(math.abs(nd - ex.getLong(1)).toDouble / ex.getLong(1) <= 0.05,
-        s"$c: apx=$nd exact=${ex.getLong(1)}")
+  test("q133 approx profile: exact fields equal q115 verbatim, distincts within 5%") {
+    // profileApprox shares q115's type-stable min/max cast discipline
+    // (decimal for doubles, date for temporals), so the exact fields of
+    // the two profilers must match VERBATIM — rendering included — and
+    // only n_distinct (the HLL estimate) gets a tolerance.
+    def byCol(name: String) =
+      RelationalSuite.byName(name).run(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .toMap
+    val apx = byCol("q133_profile_approx")
+    val exact = byCol("q115_profile")
+    assert(apx.keySet == exact.keySet)
+    exact.foreach { case (c, (nn, nd, mn, mx)) =>
+      val (ann, and, amn, amx) = apx(c)
+      assert(ann == nn, s"$c n_nonnull")
+      assert(amn == mn && amx == mx, s"$c min/max: apx=($amn,$amx) exact=($mn,$mx)")
+      assert(math.abs(and - nd).toDouble / nd <= 0.05, s"$c: apx=$and exact=$nd")
     }
   }
 

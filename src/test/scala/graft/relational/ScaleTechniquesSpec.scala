@@ -176,6 +176,58 @@ class ScaleTechniquesSpec extends SparkSuite {
     } finally graft.TmpFiles.deleteRecursively(dir)
   }
 
+  test("AQE splits the graph wedge join's hub-skewed partition (g03/g04 shape)") {
+    // The first skewed exchange the engine hits at 100×: the clustering/
+    // centrality wedge join (GraphAnalytics.friendFriendWedges) shuffles
+    // adjacency on (ego, vertex), and a power-law hub's key holds Σdeg²
+    // of the work. This drives the REAL production operator — not a
+    // lookalike — on a synthetic hub graph (one hub of degree n plus a
+    // path), asserts AQE splits the hub partition (skew=true), and checks
+    // the wedge counts against the graph's closed form, so the skew split
+    // is proven result-identical. Ids carry a 40-char pad so the toy rows
+    // register against the lowered byte thresholds, mirroring the
+    // relational skew test above.
+    val dir = Files.createTempDirectory("graft-wedge-skew").toString
+    try {
+      import spark.implicits._
+      val n = 800
+      // Incompressible per-id pad: the shuffle writer lz4-compresses map
+      // output, and a repeated-char pad deflates below the skew byte
+      // threshold no matter how wide it prints.
+      val idCache = scala.collection.mutable.Map.empty[Int, String]
+      def id(i: Int) = idCache.getOrElseUpdate(i, {
+        val r = new scala.util.Random(i)
+        f"$i%05d_" + Array.fill(96)(Integer.toString(r.nextInt(36), 36)).mkString
+      })
+      // Hub 0 — {1..n}; path i — i+1. Triangles (0,i,i+1) make the closed
+      // form: eff(hub) = n-1 path edges; eff(1) = eff(n) = 1 (one hub edge
+      // among the two neighbours); eff(i) = 2 otherwise.
+      val hubEdges = (1 to n).map(i => ("0", id(0), id(i)))
+      val pathEdges = (1 until n).map(i => ("0", id(i), id(i + 1)))
+      (hubEdges ++ pathEdges).toDF("ego", "src", "dst")
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      val edges = spark.read.parquet(s"$dir/edges")
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB") {
+        val wedges = graft.snap.GraphAnalytics.friendFriendWedges(edges)
+        val eff = wedges.collect()
+          .map(r => r.getString(1) -> r.getLong(2)).toMap
+        assert(eff(id(0)) == n - 1, s"hub eff = ${eff(id(0))}")
+        assert(eff(id(1)) == 1 && eff(id(n)) == 1)
+        (2 until n).foreach(i => assert(eff(id(i)) == 2, s"eff(${id(i)}) = ${eff(id(i))}"))
+        assert(eff.size == n + 1)
+        val plan = wedges.queryExecution.executedPlan.toString
+        assert(plan.contains("skew=true"),
+          s"expected AQE to split the hub-skewed wedge join partition:\n$plan")
+      }
+    } finally graft.TmpFiles.deleteRecursively(dir)
+  }
+
   test("broadcast threshold governs join strategy; explicit hint overrides it") {
     // The planner lever that decides whether a dim ships to every
     // executor or both sides shuffle: below the size threshold the dim
