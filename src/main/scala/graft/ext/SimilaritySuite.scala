@@ -281,9 +281,20 @@ object SimilaritySuite {
     } finally { fitInput.unpersist(); () }
   }
 
-  /** Encode a corpus against a fitted [[PqModel]]: one linear codegen'd
-    * pass → (vec_id, codes ARRAY&lt;INT&gt; of length m). */
-  def pqEncode(vecs: DataFrame, model: PqModel): DataFrame = {
+  /** Encode a corpus against a fitted [[PqModel]]: one linear pass →
+    * (vec_id, codes ARRAY&lt;INT&gt; of length m) through the NATIVE
+    * `pq_encode` kernel (graft.functions.PqEncodeExpr) — the HOF argmin
+    * chain is interpreted and allocation-heavy, which at corpus scale
+    * makes encode the bottleneck; the native expression is a tight
+    * codegen'd triple loop, bit-identical (PqEncodeSpec parity). */
+  def pqEncode(vecs: DataFrame, model: PqModel): DataFrame =
+    vecs.select(col("vec_id"),
+      call_function("pq_encode", col("arr"), model.codebookLit).as("codes"))
+
+  /** The interpreted HOF formulation of [[pqEncode]] — kept as the parity
+    * reference for PqEncodeSpec (same distance accumulation order, same
+    * strict-&lt; argmin → bit-identical codes). */
+  def pqEncodeHof(vecs: DataFrame, model: PqModel): DataFrame = {
     val cbLit = model.codebookLit
     vecs.select(col("vec_id"),
       transform(sequence(lit(0), lit(model.m - 1)), j =>

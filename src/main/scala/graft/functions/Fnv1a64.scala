@@ -89,5 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "rolling_minhash takes exactly two arguments")
         RollingMinHash(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "pq_encode takes exactly two arguments")
+        PqEncodeExpr(children.head, children(1))
+      }))
   }
 }
