@@ -358,6 +358,95 @@ object SimilaritySuite {
       .orderBy(col("dot").desc, col("vec_id")).limit(k)
   }
 
+  /** IVF-PQ ANN — the two quantizers COMPOSED into the production index
+    * shape: q53's KMeans coarse quantizer bounds WHICH rows a probe scans
+    * (nprobe/nlist of the corpus), q134's product quantizer bounds the
+    * BYTES each scanned row costs (m codes over the RESIDUAL vector —
+    * within-cell offsets are small, so the same ksub centroids spend
+    * their resolution where the data actually is). Since ⟨probe, vec⟩ =
+    * ⟨probe, center_cell⟩ + ⟨probe, residual⟩, one m×ksub lookup table of
+    * probe·residual-codebook inner products serves every cell and the
+    * cell adds only a constant term; the scan is a cell-filtered
+    * lookup-table fold over `pq_encode`d codes, then the ADC top
+    * rerank·k rows are reranked with the exact dot product.
+    * Approximate → rows-only entry; recall gates in SimilaritySpec next
+    * to q49/q53/q70/q134. */
+  def ivfPqTopK(s: SparkSession, d: String, probeId: Long, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      rerank: Int = 8, vecsIn: DataFrame = null): DataFrame = {
+    import s.implicits._
+    val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    val vecs = base.as[(Long, Seq[Double])]
+      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
+      .toDF("vec_id", "features").cache()
+    try {
+      // Coarse quantizer — q53's exact discipline (sample-sized fit).
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
+      val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
+      val kmModel = km.fit(fitInput)
+      val centers = kmModel.clusterCenters.map(_.toArray)
+      val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+
+      // Residuals: arr − center[cell]; `arr` and the center literal are
+      // each referenced once (CollapseProject discipline).
+      val assigned = kmModel.transform(vecs).select(col("vec_id"), col("cell"))
+        .join(base, "vec_id")
+      // Cached: the PQ fit's sample/seed/iteration actions each re-execute
+      // their input, and re-running the assignment join 6× is waste.
+      val residuals = assigned.select(col("vec_id"), col("cell"),
+        zip_with(col("arr"), element_at(centersLit, col("cell") + 1),
+          (x, c) => x - c).as("embedding")).cache()
+
+      // Product quantizer over residuals (fitPq reads `embedding`).
+      val pq = fitPq(s, d, m, ksub, vecsIn = residuals)
+      val encoded = pqEncode(residuals.withColumnRenamed("embedding", "arr"), pq)
+        .join(residuals.select("vec_id", "cell"), "vec_id")
+
+      val probe = base.filter(col("vec_id") === probeId)
+        .head().getSeq[Double](1).toArray
+      def dotArr(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length) { s0 += a(i) * b(i); i += 1 }; s0
+      }
+      val probedCells = centers.zipWithIndex
+        .sortBy { case (c, _) => -dotArr(c, probe) }.take(nprobe).map(_._2)
+
+      // ⟨probe, vec⟩ = ⟨probe, center_cell⟩ + ⟨probe, residual⟩ — so ONE
+      // m×ksub lookup table of ⟨probe_sub, residual-codebook⟩ serves every
+      // cell (q134's table, probe taken raw), and the cell contributes
+      // only the constant ⟨probe, center_cell⟩ term.
+      val dt = Array.tabulate(pq.m, pq.ksub) { (j, c) =>
+        val off = j * pq.sub
+        var s0 = 0.0; var t = 0
+        while (t < pq.sub) { s0 += probe(off + t) * pq.codebooks(j)(c)(t); t += 1 }
+        s0
+      }
+      val dtLit = typedLit(dt.map(_.toSeq).toSeq)
+      val centerDotLit = typedLit(centers.map(c => dotArr(c, probe)).toSeq)
+
+      val adc = encoded
+        .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= probeId)
+        .select(col("vec_id"),
+          (element_at(centerDotLit, col("cell") + 1) +
+            aggregate(
+              zip_with(col("codes"), sequence(lit(0), lit(pq.m - 1)),
+                (c, j) => element_at(element_at(dtLit, j + 1), c + 1)),
+              lit(0.0), (acc, v) => acc + v)).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id")).limit(rerank * k)
+
+      val probeLit = typedLit(probe.toSeq)
+      adc.join(base, "vec_id")
+        .withColumn("pvec", probeLit)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"),
+          round(expr("array_dot(arr, pvec)"), 6).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id")).limit(k)
+    } finally { vecs.unpersist(); () }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Exact cosine near-dup pairs on a candidate subset — oracle-checked.
@@ -425,6 +514,13 @@ object SimilaritySuite {
     // SimilaritySpec, rows-only here.
     QuerySpec("q134_pq_adc",
       (s, d) => pqTopK(s, d, probeId = 0L, k = 10),
+      None),
+
+    // IVF-PQ ANN: both quantizers composed (cells bound the rows a probe
+    // scans, residual codes bound the bytes per row) — approximate;
+    // recall gates in SimilaritySpec, rows-only here.
+    QuerySpec("q135_ann_ivfpq",
+      (s, d) => ivfPqTopK(s, d, probeId = 0L, k = 10, nlist = 8, nprobe = 4),
       None),
 
     // Hard-negative mining — the contrastive-training pair generator:

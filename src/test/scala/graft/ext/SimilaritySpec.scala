@@ -222,6 +222,33 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.9, s"clustered PQ mean recall@10 = $mean ($recalls)")
   }
 
+  test("IVF-PQ ANN recall@10 >= 0.6 vs exact brute-force top-10 (dot product)") {
+    import spark.implicits._
+    val exact = RelationalSuite.byName("q26_cosine_topk").run(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    // q135's own sf0.001 parameters: fewer, wider cells (the q53
+    // discipline — nprobe/nlist must cover a meaningful corpus fraction
+    // on a ~500-vector fixture).
+    val ivfpq = SimilaritySuite.ivfPqTopK(spark, sf, probeId = 0L, k = 10,
+      nlist = 8, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.count(ivfpq.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall (exact=$exact ivfpq=$ivfpq)")
+  }
+
+  test("clustered fixture: IVF-PQ ANN recall@10 >= 0.9 (dot product, q135 parameters)") {
+    import spark.implicits._
+    val recalls = Seq(0L, 117L, 503L, 960L).map { p =>
+      val approx = SimilaritySuite.ivfPqTopK(spark, sf, probeId = p, k = 10,
+        nlist = 8, nprobe = 4, vecsIn = clusteredDf)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = exactTop10(p, dotF)
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"clustered IVF-PQ mean recall@10 = $mean ($recalls)")
+  }
+
   test("PQ codes are well-formed and Spark ADC equals the driver-side lookup sum") {
     import spark.implicits._
     val model = SimilaritySuite.fitPq(spark, sf)
