@@ -44,6 +44,25 @@ class PlanSpec extends SparkSuite {
       s"batch ANN must join on bucket keys:\n$p")
   }
 
+  test("q134 PQ-ADC: linear lookup scan + top-k heap, no cartesian, no global sort") {
+    val p = plan("q134_pq_adc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ search must stay a linear ADC scan + keyed rerank join:\n$p")
+    // ADC candidate selection must be the bounded top-k operator (per-
+    // partition heaps + merge), never a full corpus sort.
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q135 IVF-PQ: cell-filtered ADC scan + top-k heap, no cartesian") {
+    val p = plan("q135_ann_ivfpq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ must stay a cell-filtered scan + keyed joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // The probed-cell restriction must appear as a filter on the encoded
+    // rows (the nprobe/nlist scan-bound).
+    assert(p.contains("cell#") && p.toLowerCase.contains(" in "), p)
+  }
+
   test("q90 binned interval join: equi-join on the bin, never a nested loop") {
     val p = plan("q90_binned_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
