@@ -147,7 +147,12 @@ object Bench {
     // only trusted with at least mild corroboration from the
     // plan-insensitive inflation index; a strong inflation trip (the r6
     // failure mode the 3-point sentinel missed) stands on its own.
-    val contaminated = (inflation > 1.4) || (spread > 1.5 && inflation > 1.15)
+    // When no query yields an inflation ratio (all <3 ok runs or sub-0.15 s
+    // mins — e.g. a tiny-SF smoke run), there is no corroborating signal,
+    // so a spread trip must stand on its own rather than being silently
+    // discarded.
+    val contaminated =
+      (inflation > 1.4) || (spread > 1.5 && (ratios.isEmpty || inflation > 1.15))
 
     val sentinel =
       s"""{"query":"$sentinelName","times":[${sentinelTimes.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""

@@ -380,6 +380,7 @@ object SimilaritySuite {
     val vecs = base.as[(Long, Seq[Double])]
       .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
       .toDF("vec_id", "features").cache()
+    var residuals: DataFrame = null
     try {
       // Coarse quantizer — q53's exact discipline (sample-sized fit).
       val km = new org.apache.spark.ml.clustering.KMeans()
@@ -396,7 +397,9 @@ object SimilaritySuite {
         .join(base, "vec_id")
       // Cached: the PQ fit's sample/seed/iteration actions each re-execute
       // their input, and re-running the assignment join 6× is waste.
-      val residuals = assigned.select(col("vec_id"), col("cell"),
+      // Unpersisted in the finally block (the fit actions that need it are
+      // eager; the returned lazy plan just recomputes it once, like vecs).
+      residuals = assigned.select(col("vec_id"), col("cell"),
         zip_with(col("arr"), element_at(centersLit, col("cell") + 1),
           (x, c) => x - c).as("embedding")).cache()
 
@@ -444,7 +447,11 @@ object SimilaritySuite {
         .select(col("vec_id"), round(col("adc"), 6).as("adc"),
           round(expr("array_dot(arr, pvec)"), 6).as("dot"))
         .orderBy(col("dot").desc, col("vec_id")).limit(k)
-    } finally { vecs.unpersist(); () }
+    } finally {
+      vecs.unpersist()
+      if (residuals != null) residuals.unpersist()
+      ()
+    }
   }
 
   val specs: Seq[QuerySpec] = Seq(

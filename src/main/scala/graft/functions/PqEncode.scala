@@ -38,12 +38,19 @@ case class PqEncodeExpr(left: Expression, right: Expression) extends BinaryExpre
   }
 
   /** The foldable codebook, converted once per plan instance to primitive
-    * arrays (serialized with the expression to executors). */
+    * arrays (serialized with the expression to executors). Null nested
+    * elements become empty arrays, which `encode`'s shape check then
+    * rejects with a null result instead of an NPE here. */
   @transient private lazy val codebook: Array[Array[Array[Double]]] = {
     val cb = right.eval(null).asInstanceOf[ArrayData]
-    Array.tabulate(cb.numElements()) { j =>
+    if (cb == null) Array.empty
+    else Array.tabulate(cb.numElements()) { j =>
       val sub = cb.getArray(j)
-      Array.tabulate(sub.numElements())(c => sub.getArray(c).toDoubleArray())
+      if (sub == null) Array.empty[Array[Double]]
+      else Array.tabulate(sub.numElements()) { c =>
+        val cent = sub.getArray(c)
+        if (cent == null) Array.empty[Double] else cent.toDoubleArray()
+      }
     }
   }
 
@@ -70,12 +77,30 @@ case class PqEncodeExpr(left: Expression, right: Expression) extends BinaryExpre
 
 object PqEncodeExpr {
   /** Nearest-centroid codes for every subspace — also invoked from
-    * generated code. Returns null on dim mismatch or null elements (the
-    * HOF chain's null semantics). */
+    * generated code. Returns null on dim mismatch, null elements (the
+    * HOF chain's null semantics), or a malformed codebook: `pq_encode` is
+    * registered as a general SQL function, so an empty subspace, a ragged
+    * centroid (length ≠ the uniform sub-dimension), or all-NaN distances
+    * (argmin never taken) must yield null rather than throw / emit -1
+    * into a containsNull=false array. The shape check is O(Σ|centroids|)
+    * integer comparisons per row — negligible next to the O(Σ|centroids|
+    * × sub) distance loop. */
   def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
     val m = cb.length
-    if (m == 0) return null
+    if (m == 0 || cb(0).length == 0) return null
     val sub = cb(0)(0).length
+    if (sub == 0) return null
+    var j0 = 0
+    while (j0 < m) {
+      val cents = cb(j0)
+      if (cents.length == 0) return null
+      var c0 = 0
+      while (c0 < cents.length) {
+        if (cents(c0).length != sub) return null
+        c0 += 1
+      }
+      j0 += 1
+    }
     val n = vec.numElements()
     if (n != m * sub) return null
     var i = 0
@@ -103,6 +128,7 @@ object PqEncodeExpr {
         if (d < best) { best = d; bestC = c }
         c += 1
       }
+      if (bestC < 0) return null
       codes(j) = bestC
       j += 1
     }

@@ -64,4 +64,24 @@ class PqEncodeSpec extends SparkSuite {
     assert(!out(0).isNullAt(1) && out(0).getSeq[Int](1) == Seq(0, 1))
     assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
   }
+
+  test("malformed codebooks yield NULL, not exceptions or -1 codes") {
+    import spark.implicits._
+    // pq_encode is a registered SQL function — arbitrary literal codebooks
+    // must degrade to NULL: empty codebook, empty subspace, null subspace,
+    // ragged centroids, and all-NaN distances (argmin never taken).
+    val df = Seq((1L, Seq(0.1, 0.2))).toDF("vec_id", "arr")
+    val bad = Seq(
+      "CAST(array() AS ARRAY<ARRAY<ARRAY<DOUBLE>>>)",
+      "array(CAST(array() AS ARRAY<ARRAY<DOUBLE>>))",
+      "array(CAST(NULL AS ARRAY<ARRAY<DOUBLE>>))",
+      "array(array(CAST(NULL AS ARRAY<DOUBLE>)))",
+      "array(array(array(CAST(0.0 AS DOUBLE), 0.0), array(CAST(1.0 AS DOUBLE))))",
+      "array(array(array(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE))))")
+    bad.foreach { cb =>
+      val row = df.select(
+        call_function("pq_encode", col("arr"), expr(cb)).as("codes")).head()
+      assert(row.isNullAt(0), s"expected NULL for codebook $cb")
+    }
+  }
 }

@@ -58,9 +58,11 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"IVF-PQ must stay a cell-filtered scan + keyed joins:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
-    // The probed-cell restriction must appear as a filter on the encoded
-    // rows (the nprobe/nlist scan-bound).
-    assert(p.contains("cell#") && p.toLowerCase.contains(" in "), p)
+    // The probed-cell restriction must appear as an IN filter on the cell
+    // attribute itself (the nprobe/nlist scan-bound) — a loose substring
+    // match could pass on unrelated plan text containing " in ".
+    assert("""cell#\d+ IN \(""".r.findFirstIn(p).isDefined,
+      s"expected a `cell#N IN (...)` probed-cell filter:\n$p")
   }
 
   test("q90 binned interval join: equi-join on the bin, never a nested loop") {
