@@ -210,6 +210,39 @@ object SimilaritySuite {
     def codebookLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  /** The q135 IVF-PQ index parameters: `centers` is the coarse quantizer
+    * (nlist cells over the RAW vectors), `pq` the product quantizer fit on
+    * the RESIDUALS (vec − center[cell]). Together they are everything a
+    * serving job needs — fit once offline, persist via [[PqModelStore]],
+    * serve many (the production 100 TB shape). */
+  final case class IvfPqModel(centers: Array[Array[Double]],
+      pq: PqModel)
+
+  /** Deterministic nearest-center assignment (squared euclidean, strict-<
+    * argmin, lowest index wins ties — plain left-to-right accumulation, no
+    * norm-expansion shortcut, so assignment is a pure function of the
+    * persisted center doubles and identical across fit-then-serve and
+    * load-then-serve). A UDF rather than the HOF argmin because filter
+    * pushdown substitutes the `cell` alias into the probed-cells IN
+    * predicate: a compact `UDF(arr) IN (…)` there costs one extra argmin
+    * per row, while the inlined HOF chain would re-evaluate a full
+    * interpreted fold (the q134 CollapseProject lesson). */
+  private def nearestCenterUdf(centers: Array[Array[Double]]) =
+    udf { (arr: Seq[Double]) =>
+      var best = Double.PositiveInfinity
+      var bestC = -1
+      var c = 0
+      while (c < centers.length) {
+        val cent = centers(c)
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) { val diff = arr(i) - cent(i); d += diff * diff; i += 1 }
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      bestC
+    }
+
   /** The codegen'd per-subspace nearest-centroid argmin (lowest index wins
     * ties): one HOF fold over the `ksub` centroids, no UDF. */
   private def nearestCode(sv: org.apache.spark.sql.Column,
@@ -318,10 +351,12 @@ object SimilaritySuite {
     * recall and ADC-consistency gates live in SimilaritySpec. */
   def pqTopK(s: SparkSession, d: String, probeId: Long, k: Int,
       m: Int = 16, ksub: Int = 16, rerank: Int = 8,
-      vecsIn: DataFrame = null): DataFrame = {
+      vecsIn: DataFrame = null, modelIn: PqModel = null): DataFrame = {
     val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
-    val model = fitPq(s, d, m, ksub, vecsIn = vecsIn)
+    // Serve from a pre-fitted (possibly PqModelStore-loaded) model when
+    // provided — the fit-once-offline path; refit only when absent.
+    val model = if (modelIn != null) modelIn else fitPq(s, d, m, ksub, vecsIn = vecsIn)
     val probe = base.filter(col("vec_id") === probeId)
       .head().getSeq[Double](1).toArray
 
@@ -358,6 +393,47 @@ object SimilaritySuite {
       .orderBy(col("dot").desc, col("vec_id")).limit(k)
   }
 
+  /** Fit the q135 IVF-PQ index: q53's sample-disciplined KMeans coarse
+    * quantizer over the raw vectors, then [[fitPq]] over the residuals
+    * (assignment via [[nearestCenterUdf]], so refit-vs-reload serving is
+    * identical). Returns the persistable [[IvfPqModel]] — the offline half
+    * of the fit-once / serve-many production split. */
+  def fitIvfPq(s: SparkSession, d: String, nlist: Int = 16, m: Int = 16,
+      ksub: Int = 16, vecsIn: DataFrame = null): IvfPqModel = {
+    import s.implicits._
+    val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+    val vecs = base.as[(Long, Seq[Double])]
+      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
+      .toDF("vec_id", "features").cache()
+    var residuals: DataFrame = null
+    try {
+      // Coarse quantizer — q53's exact discipline (sample-sized fit).
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
+      val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
+      val centers = km.fit(fitInput).clusterCenters.map(_.toArray)
+      val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+
+      // Residuals: arr − center[cell]; `arr` and the center literal are
+      // each referenced once (CollapseProject discipline). Cached: the PQ
+      // fit's sample/seed/iteration actions each re-execute their input.
+      residuals = base
+        .withColumn("cell", nearestCenterUdf(centers)(col("arr")))
+        .select(col("vec_id"),
+          zip_with(col("arr"), element_at(centersLit, col("cell") + 1),
+            (x, c) => x - c).as("embedding")).cache()
+
+      // Product quantizer over residuals (fitPq reads `embedding`).
+      IvfPqModel(centers, fitPq(s, d, m, ksub, vecsIn = residuals))
+    } finally {
+      vecs.unpersist()
+      if (residuals != null) residuals.unpersist()
+      ()
+    }
+  }
+
   /** IVF-PQ ANN — the two quantizers COMPOSED into the production index
     * shape: q53's KMeans coarse quantizer bounds WHICH rows a probe scans
     * (nprobe/nlist of the corpus), q134's product quantizer bounds the
@@ -373,40 +449,28 @@ object SimilaritySuite {
     * to q49/q53/q70/q134. */
   def ivfPqTopK(s: SparkSession, d: String, probeId: Long, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
-      rerank: Int = 8, vecsIn: DataFrame = null): DataFrame = {
-    import s.implicits._
+      rerank: Int = 8, vecsIn: DataFrame = null,
+      modelIn: IvfPqModel = null): DataFrame = {
     val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
-    val vecs = base.as[(Long, Seq[Double])]
-      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
-      .toDF("vec_id", "features").cache()
-    var residuals: DataFrame = null
-    try {
-      // Coarse quantizer — q53's exact discipline (sample-sized fit).
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
-      val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
-      val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
-      val kmModel = km.fit(fitInput)
-      val centers = kmModel.clusterCenters.map(_.toArray)
+    // Serve from a pre-fitted (possibly PqModelStore-loaded) model when
+    // provided; refit only when absent. Serving itself is ONE linear
+    // chain over the corpus — assign cell, residual-encode — with no
+    // re-attach join (the r8 shape joined codes back to cells; keeping
+    // `cell` in the chain drops that shuffle entirely).
+    locally {
+      val model = if (modelIn != null) modelIn
+        else fitIvfPq(s, d, nlist, m, ksub, vecsIn = vecsIn)
+      val centers = model.centers
+      val pq = model.pq
       val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-
-      // Residuals: arr − center[cell]; `arr` and the center literal are
-      // each referenced once (CollapseProject discipline).
-      val assigned = kmModel.transform(vecs).select(col("vec_id"), col("cell"))
-        .join(base, "vec_id")
-      // Cached: the PQ fit's sample/seed/iteration actions each re-execute
-      // their input, and re-running the assignment join 6× is waste.
-      // Unpersisted in the finally block (the fit actions that need it are
-      // eager; the returned lazy plan just recomputes it once, like vecs).
-      residuals = assigned.select(col("vec_id"), col("cell"),
-        zip_with(col("arr"), element_at(centersLit, col("cell") + 1),
-          (x, c) => x - c).as("embedding")).cache()
-
-      // Product quantizer over residuals (fitPq reads `embedding`).
-      val pq = fitPq(s, d, m, ksub, vecsIn = residuals)
-      val encoded = pqEncode(residuals.withColumnRenamed("embedding", "arr"), pq)
-        .join(residuals.select("vec_id", "cell"), "vec_id")
+      val encoded = base
+        .withColumn("cell", nearestCenterUdf(centers)(col("arr")))
+        .select(col("vec_id"), col("cell"),
+          call_function("pq_encode",
+            zip_with(col("arr"), element_at(centersLit, col("cell") + 1),
+              (x, c) => x - c),
+            pq.codebookLit).as("codes"))
 
       val probe = base.filter(col("vec_id") === probeId)
         .head().getSeq[Double](1).toArray
@@ -447,10 +511,6 @@ object SimilaritySuite {
         .select(col("vec_id"), round(col("adc"), 6).as("adc"),
           round(expr("array_dot(arr, pvec)"), 6).as("dot"))
         .orderBy(col("dot").desc, col("vec_id")).limit(k)
-    } finally {
-      vecs.unpersist()
-      if (residuals != null) residuals.unpersist()
-      ()
     }
   }
 

@@ -37,11 +37,12 @@ case class PqEncodeExpr(left: Expression, right: Expression) extends BinaryExpre
         s"got ${l.catalogString} and ${r.catalogString}")
   }
 
-  /** The foldable codebook, converted once per plan instance to primitive
-    * arrays (serialized with the expression to executors). Null nested
-    * elements become empty arrays, which `encode`'s shape check then
-    * rejects with a null result instead of an NPE here. */
-  @transient private lazy val codebook: Array[Array[Array[Double]]] = {
+  /** The foldable codebook, converted AND shape-validated once per plan
+    * instance (serialized with the expression to executors). Null nested
+    * elements become empty arrays, which `validated` rejects — a malformed
+    * codebook yields `null` here, so every row degrades to a NULL result
+    * without re-running the shape check per row. */
+  @transient private lazy val codebook: Array[Array[Array[Double]]] = PqEncodeExpr.validated {
     val cb = right.eval(null).asInstanceOf[ArrayData]
     if (cb == null) Array.empty
     else Array.tabulate(cb.numElements()) { j =>
@@ -76,31 +77,41 @@ case class PqEncodeExpr(left: Expression, right: Expression) extends BinaryExpre
 }
 
 object PqEncodeExpr {
-  /** Nearest-centroid codes for every subspace — also invoked from
-    * generated code. Returns null on dim mismatch, null elements (the
-    * HOF chain's null semantics), or a malformed codebook: `pq_encode` is
-    * registered as a general SQL function, so an empty subspace, a ragged
-    * centroid (length ≠ the uniform sub-dimension), or all-NaN distances
-    * (argmin never taken) must yield null rather than throw / emit -1
-    * into a containsNull=false array. The shape check is O(Σ|centroids|)
-    * integer comparisons per row — negligible next to the O(Σ|centroids|
-    * × sub) distance loop. */
-  def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
-    val m = cb.length
-    if (m == 0 || cb(0).length == 0) return null
+  /** One-time shape check for a converted codebook: non-empty, no empty
+    * subspace, every centroid the uniform sub-dimension. Returns the
+    * codebook itself when well-formed, null otherwise — hoisted out of the
+    * per-row kernel (r9) so `encode` amortizes the O(Σ|centroids|) check
+    * to once per plan instead of once per row. */
+  def validated(cb: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    if (cb == null || cb.length == 0 || cb(0).length == 0) return null
     val sub = cb(0)(0).length
     if (sub == 0) return null
-    var j0 = 0
-    while (j0 < m) {
-      val cents = cb(j0)
+    var j = 0
+    while (j < cb.length) {
+      val cents = cb(j)
       if (cents.length == 0) return null
-      var c0 = 0
-      while (c0 < cents.length) {
-        if (cents(c0).length != sub) return null
-        c0 += 1
+      var c = 0
+      while (c < cents.length) {
+        if (cents(c).length != sub) return null
+        c += 1
       }
-      j0 += 1
+      j += 1
     }
+    cb
+  }
+
+  /** Nearest-centroid codes for every subspace — also invoked from
+    * generated code. Returns null on dim mismatch, null elements (the
+    * HOF chain's null semantics), a malformed (`validated`-rejected, i.e.
+    * null) codebook, or all-NaN distances (argmin never taken): `pq_encode`
+    * is registered as a general SQL function, so each of these must yield
+    * null rather than throw / emit -1 into a containsNull=false array.
+    * The codebook passed here must be `validated` output — the shape check
+    * runs once per plan, not per row. */
+  def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    if (cb == null) return null
+    val m = cb.length
+    val sub = cb(0)(0).length
     val n = vec.numElements()
     if (n != m * sub) return null
     var i = 0
