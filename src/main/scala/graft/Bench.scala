@@ -54,8 +54,18 @@ object Bench {
     // g07/g10 (dual-implementation validation gates — many tiny iterative
     // jobs on toy graphs, not engine plans).
     val excluded = Set("g07_centrality_pregel", "g10_centrality_batched")
+    // SPARK_GRAFT_SKIP: comma-separated names excluded from this run —
+    // the sf10 gate drops q05/q100, whose outputs grow quadratically with
+    // the copy factor on the fixture's fixed key domain (documented scale
+    // path: the q36 linear Σc² rewrite). Recorded in the artifact.
+    val skipped = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // SPARK_GRAFT_BENCH_RUNS: timed runs per query (default 5). The sf10
+    // protocol uses 3 — per-run cost is ~10× and the median-of-3 still
+    // rides above the min for the inflation forensics.
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
     val names = SparkEntry.queries.keys.toSeq
-      .filterNot(_.startsWith("s_")).filterNot(excluded).sorted
+      .filterNot(_.startsWith("s_")).filterNot(excluded).filterNot(skipped).sorted
     // Distinct queries that failed during a TIMED run; warm-up failures are
     // logged but do not fail the round (a fully-measured median stands).
     val failed = scala.collection.mutable.Set.empty[String]
@@ -89,7 +99,7 @@ object Bench {
     sentinelRun()
     val raw = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % sentinelEvery == 0) sentinelRun()
-      val runs = (1 to 5).map(_ => timeOne(n, timed = true))
+      val runs = (1 to runsPerQuery).map(_ => timeOne(n, timed = true))
       n -> runs
     }
     sentinelRun()
@@ -166,8 +176,9 @@ object Bench {
 
     val sentinel =
       s"""{"query":"$sentinelName","times":[${sentinelTimes.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
+    val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val envMeta =
-      s""""sf":"$sfDir","protocol":"warmup+median-of-5","failed":${failed.size},"n_queries":${names.size},"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"sentinel":$sentinel"""
+      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"sentinel":$sentinel"""
     val fullJson =
       s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,$envMeta,"queries_min":$mins,"runs":$allRuns}"""
     val slowest = times.filter(_._2 >= 0).sortBy(-_._2).take(8)

@@ -520,20 +520,27 @@ object RelationalSuite {
     QuerySpec("q62_window_distribution",
       // Distribution window functions: ntile / percent_rank / cume_dist
       // (ranking beyond row_number; unique order key keeps them total).
+      // Compared in integer MICRO-units (floor(x*1e6)), not round(x,6):
+      // both engines compute the identical IEEE ratio, but their round()
+      // ALGORITHMS differ — Spark HALF_UPs the double's shortest decimal
+      // repr, DuckDB rounds the binary value — so a ratio sitting within
+      // an ulp of a decimal .5 boundary rounds differently (first hit at
+      // sf10: cume_dist = 0.5076875 exactly, 1 value in ~30 M). floor of
+      // the same product double is deterministic on both sides.
       (s, d) => {
         val w = Window.partitionBy("o_orderpriority")
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         t(s, d, "orders")
           .select(col("o_orderpriority"), col("o_orderkey"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 6).as("pr"),
-            round(cume_dist().over(w), 6).as("cd"))
+            floor(percent_rank().over(w) * lit(1000000)).as("pr"),
+            floor(cume_dist().over(w) * lit(1000000)).as("cd"))
           .orderBy("o_orderpriority", "o_orderkey")
       },
       Some("SELECT o_orderpriority, o_orderkey, " +
         "ntile(4) OVER w AS quartile, " +
-        "round(percent_rank() OVER w, 6) AS pr, " +
-        "round(cume_dist() OVER w, 6) AS cd " +
+        "CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr, " +
+        "CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderpriority " +
         "ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_orderpriority, o_orderkey")),
