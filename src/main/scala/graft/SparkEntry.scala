@@ -13,7 +13,7 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     relational.RelationalSuite.specs ++ snap.GraphSuite.specs ++
       ext.TextSuite.specs ++ ext.DedupSuite.specs ++
-      ext.SimilaritySuite.specs ++ ext.Multimodal.specs ++
+      ext.SimilaritySuite.specs ++ ext.Multimodal.specs ++ ext.ScaleOps.specs ++
       streaming.Streams.specs ++ sources.SourceFormats.specs ++
       graphx.WeightedPaths.specs ++ sources.ZOrderLayout.specs
 

@@ -96,5 +96,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "pq_encode takes exactly two arguments")
         PqEncodeExpr(children.head, children(1))
       }))
+    // Spark's runtime-filter bloom pair (catalyst-internal, not in the
+    // session registry), surfaced as session functions so a decontamination
+    // pipeline can build/probe a distributed bloom filter entirely in-plan:
+    // `graft_bloom_agg(xxhash64(k)[, n_items])` aggregates a binary sketch
+    // (partial-merged like any TypedImperativeAggregate — no driver build),
+    // `graft_might_contain(bloom, xxhash64(k))` probes it with codegen.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg takes one or two arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_might_contain takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }
