@@ -30,4 +30,10 @@ object SparkEntry {
     * parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allSpecs.flatMap(q => q.duckSql.map(q.name -> _)).toMap
+
+  /** For each oracle-less key in queries, the named ScalaTest gate that
+    * adjudicates it (property/recall/parity). Dumped by Verify as
+    * gates.json next to oracle_sql.json. */
+  def gates: Map[String, String] =
+    allSpecs.flatMap(q => q.gate.map(q.name -> _)).toMap
 }

@@ -43,6 +43,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Oracle-less entries are not unchecked: gates.json names each one's
+    // ScalaTest property/recall/parity gate so the artifact distinguishes
+    // "approximate, gated elsewhere" from "broken" (r9 verdict item 5).
+    val gatesJson = SparkEntry.gates.filter { case (k, _) => selected(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/gates.json"), gatesJson)
     spark.stop()
   }
 }

@@ -64,20 +64,31 @@ object DedupSuite {
   def dedupClusters(s: SparkSession, d: String, distThreshold: Double,
       docs: DataFrame = null): DataFrame = {
     import s.implicits._
-    val edges = minhashPairs(s, d, distThreshold, docs)
-      .select("a_id", "b_id").rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .cache()
-    // Right-size partitions to pair volume before CC iterates (same
+    val base = Option(docs).getOrElse(toks(s, d))
+    // Right-size partitions to corpus size before CC iterates (same
     // policy as GraphxAnalytics.compositeEdges: GraphX pays per-partition
     // scheduling every round, and the LSH pair list is usually a tiny
-    // fraction of the corpus). The pair RDD is cached so the sizing
-    // count doesn't recompute the LSH join.
-    val parts = math.max(2,
-      math.min(edges.getNumPartitions, (edges.count() / 50000L).toInt + 1))
+    // fraction of the corpus). Sizing comes from the INPUT doc count —
+    // one cheap column-pruned scan — not from counting the LSH join
+    // output (r9 verdict: that was a full action over the join purely to
+    // pick a partition count). ~10k docs per partition keeps per-round
+    // scheduling overhead out of the CC loop at the small end while
+    // still fanning out linearly with the corpus.
+    val parts = math.max(2, math.min(32, (base.count() / 10000L).toInt + 1))
     // CC messages flow along both triplet directions, so ONE tuple per
-    // undirected pair suffices.
-    val out = Graph.fromEdgeTuples(edges.coalesce(parts), ())
+    // undirected pair suffices. Cached: Pregel re-reads edges each round.
+    val edges = minhashPairs(s, d, distThreshold, base)
+      .select("a_id", "b_id").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .coalesce(parts)
+      .cache()
+    // The returned DataFrame is cached and eagerly materialized so the
+    // GraphX lineage never re-executes (and the edge cache can be
+    // released here). Contract: callers holding it long-term may
+    // unpersist() it when done; otherwise Spark's ContextCleaner drops
+    // the (cluster-count-sized) cached blocks when the DataFrame's RDD
+    // is garbage-collected.
+    val out = Graph.fromEdgeTuples(edges, ())
       .connectedComponents().vertices
       .toDF("doc_id", "cluster_id")
       .groupBy("cluster_id")
@@ -202,7 +213,8 @@ object DedupSuite {
         docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks")))
         .orderBy("a_id", "b_id"),
-      None),
+      None,
+      gate = Some("property:DedupSpec/planted near-dup recall + exact-Jaccard agreement")),
 
     // Pairs -> transitive clusters -> keep-list: what a pipeline actually
     // drops. Approximate upstream (MinHash), so no SQL oracle; the planted
@@ -212,7 +224,8 @@ object DedupSuite {
       (s, d) => dedupClusters(s, d, distThreshold = 0.3,
         docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))),
-      None),
+      None,
+      gate = Some("property:DedupSpec/A≈B≈C chain collapses to one cluster, lowest id kept")),
 
     // Embedding-cosine near-dup dedup: drop every vector with an EARLIER
     // (lower-id) neighbour at cosine >= threshold, reporting the earliest

@@ -83,6 +83,7 @@ object Multimodal {
     QuerySpec("q51_multimodal_decode",
       (s, d) => extractFeatures(mediaFromDocuments(s, d)).toDF()
         .orderBy("doc_id").limit(100),
-      None)
+      None,
+      gate = Some("property:MultimodalSpec/deterministic stub features + no-shuffle partitioning"))
   )
 }

@@ -51,30 +51,77 @@ object SimilaritySuite {
       .select(col("vec_id"), round(col("dist"), 6).as("dist"))
   }
 
+  // ---- fit-once / serve-many memos (r9 verdict item 6) -----------------
+  // The production 100 TB split is an offline fit job + many serving
+  // queries (PqModelStore is the cross-JVM equivalent of these per-JVM
+  // memos; PqModelStoreSpec pins encode parity across the round trip).
+  // The q53/q134/q135 entries serve from a model fitted once per
+  // (dataset, params) — every fit here is deterministic (fixed seeds,
+  // md5-ordered init, decimal accumulation), so a memoized model yields
+  // bit-identical results to a refit. Bench times the fits separately
+  // (`ann_fit_sec`), so the per-query medians measure the SERVE path.
+  private val pqMemo = scala.collection.mutable.Map.empty[String, PqModel]
+  private val ivfMemo =
+    scala.collection.mutable.Map.empty[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
+  private val ivfPqMemo = scala.collection.mutable.Map.empty[(String, Int), IvfPqModel]
+
+  def cachedPq(s: SparkSession, d: String): PqModel =
+    pqMemo.synchronized(pqMemo.getOrElseUpdate(d, fitPq(s, d)))
+
+  def cachedIvf(s: SparkSession, d: String, nlist: Int): org.apache.spark.ml.clustering.KMeansModel =
+    ivfMemo.synchronized(ivfMemo.getOrElseUpdate((d, nlist), fitIvf(s, d, nlist)))
+
+  def cachedIvfPq(s: SparkSession, d: String, nlist: Int): IvfPqModel =
+    ivfPqMemo.synchronized(ivfPqMemo.getOrElseUpdate((d, nlist), fitIvfPq(s, d, nlist)))
+
+  /** q53's coarse quantizer as a standalone fit job (sample-sized, same
+    * discipline as [[ivfTopK]]'s inline fit — fixed seed, 10·nlist floor). */
+  def fitIvf(s: SparkSession, d: String, nlist: Int = 16,
+      vecsIn: DataFrame = null): org.apache.spark.ml.clustering.KMeansModel = {
+    import s.implicits._
+    val vecs = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
+      .toDF("vec_id", "features")
+      .cache()
+    try {
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
+      val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
+      km.fit(fitInput)
+    } finally { vecs.unpersist(); () }
+  }
+
   /** IVF-style ANN: a KMeans coarse quantizer (nlist cells) assigns every
     * vector to a cell; the probe searches only its `nprobe` nearest cells
     * with the exact dot product. The scale path: the quantizer fit is a
     * sample-sized job, assignment is one linear pass, and each query scans
-    * nprobe/nlist of the corpus. */
+    * nprobe/nlist of the corpus. `modelIn` serves from a pre-fitted
+    * (memoized or loaded) quantizer — the fit-once path; refit when absent. */
   def ivfTopK(s: SparkSession, d: String, probeId: Long, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, vecsIn: DataFrame = null): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, vecsIn: DataFrame = null,
+      modelIn: org.apache.spark.ml.clustering.KMeansModel = null): DataFrame = {
     import s.implicits._
     val base = (if (vecsIn != null) vecsIn else Tables(s, d, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
-    // KMeans.fit iterates over its input many times — cache the vectorized
-    // form or every iteration re-runs the scan + deserializing map.
+    // KMeans.transform is one linear pass, but probe extraction + the
+    // cell-filtered refine share it — cache the vectorized form.
     val vecs = base.as[(Long, Seq[Double])]
       .map { case (id, a) => (id, Vectors.dense(a.toArray)) }
       .toDF("vec_id", "features")
       .cache()
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
-    // The coarse quantizer only needs a representative sample: fit on a
-    // bounded fraction (decoupled from corpus size), assign the full
-    // corpus. Floor of 10·nlist rows keeps tiny fixtures trainable.
-    val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
-    val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
-    val model = km.fit(fitInput)
+    val model = if (modelIn != null) modelIn else {
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(42).setFeaturesCol("features").setPredictionCol("cell")
+      // The coarse quantizer only needs a representative sample: fit on a
+      // bounded fraction (decoupled from corpus size), assign the full
+      // corpus. Floor of 10·nlist rows keeps tiny fixtures trainable.
+      val sampled = vecs.sample(withReplacement = false, 0.1, seed = 42)
+      val fitInput = if (sampled.limit(10 * nlist).count() < 10L * nlist) vecs else sampled
+      km.fit(fitInput)
+    }
     val probe = vecs.filter(col("vec_id") === probeId)
       .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
     // Probe the cells whose centroids have max INNER PRODUCT with the
@@ -558,37 +605,46 @@ object SimilaritySuite {
     // SimilaritySpec, rows-only here.
     QuerySpec("q49_ann_lsh",
       (s, d) => annTopK(s, d, probeId = 0L, k = 10).orderBy(col("dist"), col("vec_id")),
-      None),
+      None,
+      gate = Some("property:SimilaritySpec/LSH recall@10 >= 0.6 fixture, >= 0.9 clustered")),
 
     // IVF-style ANN (KMeans coarse quantizer + exact refine in nprobe
-    // cells) — approximate; recall@10 asserted in SimilaritySpec.
+    // cells) — approximate; recall@10 asserted in SimilaritySpec. Serves
+    // from the fit-once memoized quantizer (identical results — the fit
+    // is seed-deterministic); Bench times the fit separately.
     QuerySpec("q53_ann_ivf",
-      (s, d) => ivfTopK(s, d, probeId = 0L, k = 10),
-      None),
+      (s, d) => ivfTopK(s, d, probeId = 0L, k = 10, modelIn = cachedIvf(s, d, 16)),
+      None,
+      gate = Some("property:SimilaritySpec/IVF recall@10 >= 0.6 fixture, >= 0.9 clustered")),
 
     // Batch ANN: every probe's top-10 in ONE bucketed job — approximate;
     // mean recall@10 over sampled probes asserted in SimilaritySpec.
     QuerySpec("q70_ann_batch",
       (s, d) => annBatchTopK(s, d, k = 10, probeLimit = 100L),
-      None),
+      None,
+      gate = Some("property:SimilaritySpec/batch mean recall@10 >= 0.6 fixture, >= 0.9 clustered")),
 
     QuerySpec("q91_semantic_dedup",
       (s, d) => semanticDedup(s, d, tau = 0.92),
-      None),
+      None,
+      gate = Some("property:SimilaritySpec/planted tight trio collapses to lowest id")),
 
     // Product-quantization ANN (ADC scan over 16-code rows + exact
     // rerank) — approximate; recall + ADC-consistency gates in
     // SimilaritySpec, rows-only here.
     QuerySpec("q134_pq_adc",
-      (s, d) => pqTopK(s, d, probeId = 0L, k = 10),
-      None),
+      (s, d) => pqTopK(s, d, probeId = 0L, k = 10, modelIn = cachedPq(s, d)),
+      None,
+      gate = Some("property:SimilaritySpec/PQ recall + ADC-consistency; PqEncodeSpec parity")),
 
     // IVF-PQ ANN: both quantizers composed (cells bound the rows a probe
     // scans, residual codes bound the bytes per row) — approximate;
     // recall gates in SimilaritySpec, rows-only here.
     QuerySpec("q135_ann_ivfpq",
-      (s, d) => ivfPqTopK(s, d, probeId = 0L, k = 10, nlist = 8, nprobe = 4),
-      None),
+      (s, d) => ivfPqTopK(s, d, probeId = 0L, k = 10, nlist = 8, nprobe = 4,
+        modelIn = cachedIvfPq(s, d, 8)),
+      None,
+      gate = Some("property:SimilaritySpec/IVF-PQ recall@10; PqModelStoreSpec reload parity")),
 
     // Hard-negative mining — the contrastive-training pair generator:
     // for each anchor, the highest-cosine SAME-label vector (positive)

@@ -338,7 +338,8 @@ object TextSuite {
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("tok"), col("e.count").as("est"))
         .orderBy(col("est").desc, col("tok")),
-      None),
+      None,
+      gate = Some("property:TextGapsSpec/exact when capacity covers the vocabulary")),
 
     // parse_url scalar battery — host/path/single-query-param extraction,
     // the first stage of every web-corpus provenance pipeline. URLs are

@@ -439,7 +439,8 @@ object RelationalSuite {
         .groupBy("o_orderstatus")
         .agg(approx_count_distinct(col("o_custkey")).as("apx"))
         .orderBy("o_orderstatus"),
-      None),
+      None,
+      gate = Some("property:RelationalGapsSpec/within 5% of exact per group")),
 
     // Mergeable-sketch distinct counting (Apache DataSketches HLL): build
     // one sketch per event_type in a single pass, then UNION the sketches
@@ -459,7 +460,8 @@ object RelationalSuite {
             .select(lit("__merged__").as("event_type"), col("est")))
           .orderBy("event_type")
       },
-      None),
+      None,
+      gate = Some("property:RelationalGapsSpec/sketch union = whole-corpus, within 5%")),
 
     QuerySpec("q35_map_scalars",
       // Build a MAP per region (map_from_entries), then take it apart
@@ -515,7 +517,8 @@ object RelationalSuite {
       (s, d) => Tables(s, d, "documents")
         .selectExpr("doc_id", "fnv1a64(text) AS fnv")
         .orderBy("doc_id").limit(100),
-      None),
+      None,
+      gate = Some("property:Fnv1a64Spec/reference-vector + interpreted-codegen parity")),
 
     QuerySpec("q62_window_distribution",
       // Distribution window functions: ntile / percent_rank / cume_dist
@@ -634,7 +637,8 @@ object RelationalSuite {
           expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95"),
           expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("price_p25"))
         .orderBy("l_returnflag"),
-      None),
+      None,
+      gate = Some("property:RelationalGapsSpec/rank-error bound vs exact quantile")),
 
     QuerySpec("q56_reproducible_sample",
       // Deterministic ~10% sample via an md5 hash gate — the reproducible
@@ -1724,7 +1728,8 @@ object RelationalSuite {
       (s, d) => profileApprox(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderdate", "o_orderpriority")),
-      None)
+      None,
+      gate = Some("property:RelationalGapsSpec/exact fields = q115, distincts within 5%"))
   )
 
   /** Parameterized one-scan approximate profiler: count / HLL distinct /

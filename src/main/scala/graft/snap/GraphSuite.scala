@@ -238,7 +238,8 @@ object GraphSuite {
     // dominates, non-negative, zero mass outside the source's component).
     QuerySpec("g12_ppr",
       (s, _) => graft.graphx.GraphxAnalytics.personalizedRanks(s, dataDir, "698"),
-      None),
+      None,
+      gate = Some("property:GraphxAnalyticsSpec/PPR source dominance + component mass")),
 
     // Row 45 stretch: PageRank over G⁺ — no SQL oracle (iterative agg);
     // invariants asserted in GraphxAnalyticsSpec (mass conservation, ego
@@ -246,7 +247,8 @@ object GraphSuite {
     QuerySpec("g09_pagerank",
       (s, _) => graft.graphx.GraphxAnalytics.pageranks(
         s, dataDir, Seq("3980", "698")),
-      None),
+      None,
+      gate = Some("property:GraphxAnalyticsSpec/mass conservation + ego hub dominance")),
 
     // Map-typed property bag: map_contains_key / element_at over the
     // decoded MAP<STRING,STRING> column (operator row 34).

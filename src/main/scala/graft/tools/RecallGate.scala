@@ -1,0 +1,183 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.ext.{DedupSuite, SimilaritySuite}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale gates for the APPROXIMATE operators (r9 verdict item 4): the
+  * exact surface has sf1/sf10 oracle evidence, but the recall/collapse
+  * properties of the `no_oracle` entries ran only on the sf0.1 fixture.
+  * This main re-runs them on a derived big fixture
+  * (`tools/derive_scale.py /root/testdata/sf0.1 <dir> 10` → ~sf1: 10
+  * id-shifted copies, so every doc/vector has 9 exact duplicates at
+  * +100000·i offsets — planted structure the gates exploit).
+  *
+  * Gates (each ANN path at its ENTRY's own parameters):
+  *  - q49/q53/q134/q135: recall@10 vs the exact Spark brute-force top-10
+  *    in each operator's OWN metric (euclidean / dot / dot / dot),
+  *    tie-robust — the derived fixture has exact-duplicate vectors, so a
+  *    result is counted as recalled when its exact score ties the 10th
+  *    exact score (otherwise which of ten identical copies the index
+  *    returns would be graded as a miss);
+  *  - q70: mean tie-robust recall@10 (cosine) over the first 50 probes;
+  *  - q69: every 10-copy document family must collapse into one CC
+  *    cluster whose keep_id is a base-copy id;
+  *  - q91: with every vector duplicated 10×, survivors can be at most the
+  *    base-copy count (all non-first copies sit in their copy's cell at
+  *    cos = 1 ≥ tau and must drop).
+  *
+  * Writes one JSON line (marker GRAFT_RECALL_JSON) + `<out>` file; exits
+  * nonzero if any gate fails. Usage: RecallGate <derivedSfDir> <outJson>
+  */
+object RecallGate {
+
+  private def vecBase(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
+
+  /** (top10 ids, tie-robust 10th score) for `metricCol` over the corpus. */
+  private def exactTop(base: DataFrame, metricCol: org.apache.spark.sql.Column,
+      probeId: Long, k: Int): (Set[Long], Double) = {
+    val top = base.filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), metricCol.as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    (top.map(_._1).toSet, top.map(_._2).min)
+  }
+
+  /** Tie-robust recall@k: fraction of returned ids whose exact score ties
+    * or beats the exact k-th score (1e-9 slack for engine-side rounding). */
+  private def recallOf(base: DataFrame, metricCol: org.apache.spark.sql.Column,
+      probeId: Long, k: Int, returned: Seq[Long]): Double = {
+    val (_, kth) = exactTop(base, metricCol, probeId, k)
+    if (returned.isEmpty) 0.0
+    else {
+      val scores = base.filter(col("vec_id").isin(returned.map(Long.box): _*))
+        .select(col("vec_id"), metricCol.as("score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      returned.count(id => scores.getOrElse(id, Double.NegativeInfinity) >= kth - 1e-9)
+        .toDouble / k
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outPath) = args
+    val spark = Sessions.local("graft-recall-gate")
+    import spark.implicits._
+    val k = 10
+
+    val base0 = vecBase(spark, sfDir)
+    val nVecs = base0.count()
+    // Probes span distinct copies of the derived fixture (offset 100000).
+    val copyOffsets = base0.select((col("vec_id") / 100000L).cast("long"))
+      .distinct().as[Long].collect().sorted
+    val probes: Seq[Long] = Seq(0L, 117L) ++
+      copyOffsets.drop(1).take(2).map(_ * 100000L + 117L)
+
+    def withProbe(p: Long): (DataFrame, Seq[Double]) = {
+      val probe = base0.filter(col("vec_id") === p).head().getSeq[Double](1)
+      (base0.withColumn("pvec", typedLit(probe)), probe)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(name: String, value: Double, min: Double): Unit = {
+      results(name) = value
+      if (value < min) failures += s"$name=$value < $min"
+    }
+
+    def meanRecall(entry: String, run: Long => Seq[Long],
+        metric: org.apache.spark.sql.Column): Double = {
+      val rs = probes.map { p =>
+        val (withP, _) = withProbe(p)
+        recallOf(withP, metric, p, k, run(p))
+      }
+      System.err.println(s"[recall] $entry per-probe: ${rs.mkString(", ")}")
+      rs.sum / rs.size
+    }
+
+    // --- q49 LSH (euclidean: negated squared distance) ------------------
+    val negDist =
+      expr("2 * array_dot(arr, pvec)") - expr("array_dot(arr, arr)")
+    gate("q49_lsh_recall_at10", meanRecall("q49",
+      p => SimilaritySuite.annTopK(spark, sfDir, p, k)
+        .select("vec_id").as[Long].collect().toSeq, negDist), 0.6)
+
+    // --- q53 IVF (dot), entry parameters (nlist 16 / nprobe 4), fit once
+    val dotM = expr("array_dot(arr, pvec)")
+    val ivfModel = SimilaritySuite.cachedIvf(spark, sfDir, 16)
+    gate("q53_ivf_recall_at10", meanRecall("q53",
+      p => SimilaritySuite.ivfTopK(spark, sfDir, p, k, modelIn = ivfModel)
+        .select("vec_id").as[Long].collect().toSeq, dotM), 0.6)
+
+    // --- q134 PQ-ADC (dot), fit once --------------------------------------
+    val pqModel = SimilaritySuite.cachedPq(spark, sfDir)
+    gate("q134_pq_recall_at10", meanRecall("q134",
+      p => SimilaritySuite.pqTopK(spark, sfDir, p, k, modelIn = pqModel)
+        .select("vec_id").as[Long].collect().toSeq, dotM), 0.6)
+
+    // --- q135 IVF-PQ (dot), entry parameters (nlist 8 / nprobe 4) ---------
+    val ivfPqModel = SimilaritySuite.cachedIvfPq(spark, sfDir, 8)
+    gate("q135_ivfpq_recall_at10", meanRecall("q135",
+      p => SimilaritySuite.ivfPqTopK(spark, sfDir, p, k, nlist = 8, nprobe = 4,
+        modelIn = ivfPqModel).select("vec_id").as[Long].collect().toSeq, dotM), 0.6)
+
+    // --- q70 batch ANN (cosine) over the first 50 probes ------------------
+    val cosM =
+      expr("array_dot(arr, pvec)") /
+        (sqrt(expr("array_dot(arr, arr)")) * sqrt(expr("array_dot(pvec, pvec)")))
+    val batch = SimilaritySuite.annBatchTopK(spark, sfDir, k, probeLimit = 50L)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val batchRecalls = (0L until 50L).map { p =>
+      val (withP, _) = withProbe(p)
+      recallOf(withP, cosM, p, k, batch.getOrElse(p, Seq.empty))
+    }
+    gate("q70_batch_mean_recall_at10", batchRecalls.sum / batchRecalls.size, 0.6)
+
+    // --- q69 dedup clusters: 10-copy families must collapse ---------------
+    val famDocs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 100000L < 100)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+    val nFamDocs = famDocs.count()
+    val nFamilies = famDocs.select((col("doc_id") % 100000L)).distinct().count()
+    val clusters = DedupSuite.dedupClusters(spark, sfDir, distThreshold = 0.3,
+      docs = famDocs)
+    val summary = clusters.agg(
+      count(lit(1)).as("n_clusters"),
+      sum("n_members").as("n_clustered"),
+      sum(when(col("keep_id") >= 100000L, 1L).otherwise(0L)).as("bad_keep")).head()
+    results("q69_n_families") = nFamilies.toDouble
+    results("q69_n_clusters") = summary.getLong(0).toDouble
+    gate("q69_all_docs_clustered",
+      if (summary.getLong(1) == nFamDocs) 1.0 else 0.0, 1.0)
+    gate("q69_clusters_le_families",
+      if (summary.getLong(0) <= nFamilies) 1.0 else 0.0, 1.0)
+    gate("q69_keep_ids_are_base_copies",
+      if (summary.getLong(2) == 0L) 1.0 else 0.0, 1.0)
+    clusters.unpersist()
+
+    // --- q91 semantic dedup: survivors bounded by the base-copy count -----
+    // nlist scales with N (the documented at-scale tuning knob): 64 cells
+    // keep the within-cell pair work ~Σ|cell|² tractable at 10× the corpus.
+    val nBase = base0.filter(col("vec_id") < 100000L).count()
+    val sem = SimilaritySuite.semanticDedup(spark, sfDir, tau = 0.92, nlist = 64).head()
+    results("q91_n_survivors") = sem.getLong(0).toDouble
+    results("q91_n_dropped") = sem.getLong(1).toDouble
+    gate("q91_survivors_le_base",
+      if (sem.getLong(0) <= nBase) 1.0 else 0.0, 1.0)
+    gate("q91_partition_complete",
+      if (sem.getLong(0) + sem.getLong(1) == nVecs) 1.0 else 0.0, 1.0)
+
+    def fmt(d: Double) = "%.4f".format(d)
+    val body = results.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
+    val json = s"""{"sf":"$sfDir","n_vecs":$nVecs,"probes":[${probes.mkString(",")}],""" +
+      s""""pass":${failures.isEmpty},"failures":[${failures.map("\"" + _ + "\"").mkString(",")}],$body}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println("GRAFT_RECALL_JSON")
+    println(json)
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

@@ -49,6 +49,32 @@ for name, sql in sorted(oracle.items()):
     else:
         ok.append(name)
 print(f"OK {len(ok)}: {' '.join(ok)}")
+
+# Oracle-less entries are not unchecked: gates.json (dumped by Verify) names
+# each one's ScalaTest property/recall/parity gate. Here we assert the dump
+# exists, is readable, and has rows > 0 — the semantic adjudication lives in
+# the named suite (run via `sbt test`, stamped in TESTS_r{N}.json).
+import os
+gates_path = f"{outdir}/gates.json"
+if os.path.exists(gates_path):
+    gates = json.load(open(gates_path))
+    gated_ok = []
+    for name, gate in sorted(gates.items()):
+        if name in oracle:
+            continue  # oracled AND gated: the oracle compare above governs
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')"
+            ).fetchone()[0]
+        except Exception as e:
+            bad.append((name, f"GATED-ERR {e}"))
+            continue
+        if n <= 0:
+            bad.append((name, f"GATED rows {n} <= 0 [{gate}]"))
+        else:
+            gated_ok.append(f"{name}({n} rows; {gate})")
+    print(f"GATED {len(gated_ok)}: {' | '.join(gated_ok)}")
+
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
