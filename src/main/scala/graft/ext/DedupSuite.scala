@@ -39,7 +39,19 @@ object DedupSuite {
     val base = Option(docs).getOrElse(toks(s, d))
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 16).setBinary(true)
-    val v = tf.transform(base)
+    // The bucket join's candidate VERIFICATION (an exact keyDistance per
+    // bucket collision) is the hot loop, and its work is quadratic per
+    // dense bucket — not proportional to the input row count. The join
+    // pipeline inherits the input's partitioning (the broadcast self-join
+    // keeps the stream side's splits), so a heavily-filtered input that
+    // arrives in one or two file splits serializes ALL verification into
+    // one task (r10: the sf10 recall gate's 100-copy families spent 43
+    // CPU-minutes in a single task this way). Fan the vectorized corpus
+    // out to at least the cluster's parallelism before the join; a big
+    // corpus that already has more splits keeps them.
+    val v0 = tf.transform(base)
+    val vParts = math.max(s.sparkContext.defaultParallelism, v0.rdd.getNumPartitions)
+    val v = v0.repartition(vParts, col("doc_id"))
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42)
     val model = mh.fit(v)

@@ -159,10 +159,14 @@ object RecallGate {
     clusters.unpersist()
 
     // --- q91 semantic dedup: survivors bounded by the base-copy count -----
-    // nlist scales with N (the documented at-scale tuning knob): 64 cells
-    // keep the within-cell pair work ~Σ|cell|² tractable at 10× the corpus.
+    // nlist scales with N (the documented at-scale tuning knob) so the
+    // within-cell pair work stays ~Σ|cell|²-bounded: 64 cells at the ~sf1
+    // fixture (20k vecs), 500 at the ~sf10 one (200k vecs) — ~N/400,
+    // floored at the sf1 value so the committed sf1 artifact is stable.
     val nBase = base0.filter(col("vec_id") < 100000L).count()
-    val sem = SimilaritySuite.semanticDedup(spark, sfDir, tau = 0.92, nlist = 64).head()
+    val nlist91 = math.max(64L, nVecs / 400L).toInt
+    results("q91_nlist") = nlist91.toDouble
+    val sem = SimilaritySuite.semanticDedup(spark, sfDir, tau = 0.92, nlist = nlist91).head()
     results("q91_n_survivors") = sem.getLong(0).toDouble
     results("q91_n_dropped") = sem.getLong(1).toDouble
     gate("q91_survivors_le_base",
