@@ -26,6 +26,26 @@ class DedupSpec extends SparkSuite {
       s"recall $recalled/${expected.size}")
   }
 
+  test("minhash LSH join fans a single-split input out to cluster parallelism (r10 sf10 lesson)") {
+    import spark.implicits._
+    // A 1-partition input reproduces the failure shape: the bucket join's
+    // candidate verification (exact keyDistance per collision) inherits
+    // the stream side's partitioning, so without the explicit fan-out the
+    // whole quadratic-per-bucket verification runs in ONE task (43
+    // CPU-minutes at the sf10 gate). Pin that minhashPairs repartitions
+    // the vectorized corpus on doc_id to >= defaultParallelism.
+    val words = (1 to 30).map(i => s"w$i")
+    val docs = (1L to 40L).map(i => (i, words.take(12 + (i % 5).toInt)))
+      .toDF("doc_id", "toks").coalesce(1)
+    val pairs = DedupSuite.minhashPairs(spark, sf, 0.5, docs = docs)
+    val plan = pairs.queryExecution.executedPlan.toString
+    val fanouts = """hashpartitioning\(doc_id#\d+L?, (\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(fanouts.nonEmpty, s"no doc_id repartition in plan:\n$plan")
+    assert(fanouts.max >= spark.sparkContext.defaultParallelism,
+      s"LSH join fan-out ${fanouts.max} < ${spark.sparkContext.defaultParallelism}")
+  }
+
   test("minhash pairs agree with exact token-set Jaccard (no false accepts far over threshold)") {
     import spark.implicits._
     val pairs = DedupSuite.minhashPairs(spark, sf, distThreshold = 0.3)
