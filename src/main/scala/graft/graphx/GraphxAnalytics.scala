@@ -127,6 +127,82 @@ object GraphxAnalytics {
       .orderBy("name")
   }
 
+  /** Fixed-point scale for [[pagerankFixed]] / [[personalizedRankFixed]]:
+    * ranks are BIGINT multiples of 1e-12. Integer addition is associative
+    * and integer division truncates identically in every engine, so a
+    * fixed-iteration power iteration in this representation is BIT-EXACT
+    * reproducible — the property that lets g09/g12 carry full DuckDB
+    * oracles (unrolled-CTE power iteration) instead of rows-only checks,
+    * where double arithmetic would drift with summation order. */
+  val RankScale = 1000000000000L
+  private val RankReset = 15L * RankScale / 100L
+
+  /** One fixed-point power-iteration round: messages are
+    * `rank div outdeg` along each directed edge, summed exactly as Longs
+    * on the executors (aggregateMessages — map-side combined, no driver
+    * state), then `reset(v) + (85·msg) div 100`. Magnitude bound: msg ≤
+    * Σranks ≤ N·RankScale ≈ 1e16 at N=10⁴ nodes, so 85·msg stays far
+    * under Long range; at a 1e9-node graph RankScale drops a digit — the
+    * knob is explicit for that reason. */
+  private def iterateFixed(g0: Graph[Unit, Int], iters: Int,
+      reset: VertexId => Long, init: VertexId => Long): Graph[(Long, Long), Int] = {
+    var rg: Graph[(Long, Long), Int] = g0.outerJoinVertices(g0.outDegrees) {
+      (vid, _, d) => (math.max(d.getOrElse(0).toLong, 1L), init(vid))
+    }.cache()
+    var i = 0
+    while (i < iters) {
+      val msgs = rg.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1), _ + _)
+      rg = rg.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
+        (d, reset(vid) + 85L * m.getOrElse(0L) / 100L)
+      }.cache()
+      i += 1
+    }
+    rg
+  }
+
+  /** (ego, name, rank_fp) — deterministic PageRank over G⁺ in fixed-point
+    * integer arithmetic (rank_fp = rank · 1e12, 10 iterations, reset
+    * 0.15). Engine-independent by construction (see [[RankScale]]), so
+    * g09 hash-matches a DuckDB unrolled power-iteration oracle.
+    * Cross-validated against the double-arithmetic library
+    * [[pageranks]] in GraphxAnalyticsSpec. */
+  def pagerankFixed(s: SparkSession, dataDir: String, egos: Seq[String],
+      iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val g = friendGraph(s, dataDir, egos, withEgoCenter = true)
+    val rg = iterateFixed(g, iters, _ => RankReset, _ => RankScale)
+    rg.vertices
+      .map { case (vid, (_, r)) =>
+        val i = (vid / Offset).toInt
+        val n = vid % Offset
+        (i, if (n == Offset - 1) "ego" else n.toString, r)
+      }
+      .toDF("egoIdx", "name", "rank_fp")
+      .select(element_at(typedLit(egos), col("egoIdx") + 1).as("ego"),
+        col("name"), col("rank_fp"))
+      .orderBy("ego", "name")
+  }
+
+  /** (name, rank_fp) — deterministic PERSONALIZED PageRank on one ego's
+    * friend-only graph from its minimum node id, fixed-point (teleport
+    * mass returns to the SOURCE only; nodes outside the source's
+    * component stay at exactly 0). Same bit-exact contract as
+    * [[pagerankFixed]]; g12's DuckDB oracle unrolls the same iteration. */
+  def personalizedRankFixed(s: SparkSession, dataDir: String, ego: String,
+      iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val g = friendGraph(s, dataDir, Seq(ego), withEgoCenter = false)
+    val src = g.vertices.map(_._1).min()
+    val rg = iterateFixed(g, iters,
+      reset = vid => if (vid == src) RankReset else 0L,
+      init = vid => if (vid == src) RankScale else 0L)
+    rg.vertices
+      .map { case (vid, (_, r)) => ((vid % Offset).toString, r) }
+      .toDF("name", "rank_fp")
+      .orderBy("name")
+  }
+
   /** (ego, name, rank) — static PageRank over G⁺ (ego spokes included). */
   def pageranks(s: SparkSession, dataDir: String, egos: Seq[String],
       iters: Int = 10): DataFrame = {

@@ -69,6 +69,74 @@ object GraphSuite {
       "max(CASE WHEN key = 'education;school;id' THEN value END) AS school " +
       "FROM dec GROUP BY 1,2)"
 
+  /** g09's DuckDB oracle: fixed-point PageRank over G⁺ of `egos`,
+    * unrolled `iters` rounds. Exact integer replication of
+    * GraphxAnalytics.iterateFixed: contrib = rank // outdeg (truncating
+    * on non-negative values in both engines), new = 0.15·1e12 +
+    * (85·Σcontrib) // 100; DuckDB's integer sums widen to HUGEINT so no
+    * overflow discipline is needed on the oracle side. Every per-round
+    * CTE is MATERIALIZED (g11 lesson: the recursive chain references the
+    * previous round per join leg — default inlining goes exponential). */
+  private def pagerankOracle(egos: Seq[String], iters: Int): String = {
+    val egoList = egos.map("'" + _ + "'").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= "WITH e0 AS (SELECT regexp_extract(filename, '([0-9]+)\\.edges', 1) AS ego, a, b " +
+      s"FROM read_csv('$dataDir/*.edges', delim=' ', header=false, " +
+      "columns={'a':'VARCHAR','b':'VARCHAR'}, filename=true) " +
+      s"WHERE regexp_extract(filename, '([0-9]+)\\.edges', 1) IN ($egoList)), " +
+      "ec AS (SELECT DISTINCT ego, least(a,b) AS s, greatest(a,b) AS d FROM e0), " +
+      "mem AS (SELECT DISTINCT ego, s AS name FROM ec UNION SELECT DISTINCT ego, d FROM ec), " +
+      // G⁺ directed edge list: both directions of every canonical friend
+      // pair, plus ego-center spokes both ways ('ego' is not a SNAP id).
+      "dir AS MATERIALIZED (SELECT ego, s AS u, d AS v FROM ec " +
+      "UNION ALL SELECT ego, d, s FROM ec " +
+      "UNION ALL SELECT ego, 'ego', name FROM mem " +
+      "UNION ALL SELECT ego, name, 'ego' FROM mem), " +
+      "deg AS MATERIALIZED (SELECT ego, u, count(*) AS dg FROM dir GROUP BY 1, 2), " +
+      "nodes AS MATERIALIZED (SELECT ego, u AS v FROM deg), " +
+      "r0 AS MATERIALIZED (SELECT ego, v, CAST(1000000000000 AS BIGINT) AS r FROM nodes), "
+    for (i <- 1 to iters) {
+      sb ++= s"m$i AS MATERIALIZED (SELECT dir.ego, dir.v AS v, sum(p.r // deg.dg) AS m " +
+        s"FROM dir JOIN r${i - 1} p ON p.ego = dir.ego AND p.v = dir.u " +
+        "JOIN deg ON deg.ego = dir.ego AND deg.u = dir.u GROUP BY 1, 2), "
+      sb ++= s"r$i AS MATERIALIZED (SELECT n.ego, n.v, " +
+        "CAST(150000000000 + (85 * coalesce(m.m, 0)) // 100 AS BIGINT) AS r " +
+        s"FROM nodes n LEFT JOIN m$i m ON m.ego = n.ego AND m.v = n.v), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT ego, v AS name, r AS rank_fp FROM r$iters ORDER BY ego, name"
+    sb.toString
+  }
+
+  /** g12's DuckDB oracle: fixed-point PERSONALIZED PageRank on one ego's
+    * friend-only graph, teleporting to the minimum numeric node id only —
+    * the same unrolled integer iteration as [[pagerankOracle]] with the
+    * reset mass confined to the source row. */
+  private def pprOracle(ego: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e0 AS (SELECT a, b FROM read_csv('$dataDir/$ego.edges', " +
+      "delim=' ', header=false, columns={'a':'VARCHAR','b':'VARCHAR'})), " +
+      "ec AS (SELECT DISTINCT least(a,b) AS s, greatest(a,b) AS d FROM e0), " +
+      "dir AS MATERIALIZED (SELECT s AS u, d AS v FROM ec UNION ALL SELECT d, s FROM ec), " +
+      "deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM dir GROUP BY 1), " +
+      "nodes AS MATERIALIZED (SELECT u AS v FROM deg), " +
+      "src AS MATERIALIZED (SELECT CAST(min(CAST(v AS BIGINT)) AS VARCHAR) AS sv FROM nodes), " +
+      "r0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT sv FROM src) " +
+      "THEN CAST(1000000000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r FROM nodes), "
+    for (i <- 1 to iters) {
+      sb ++= s"m$i AS MATERIALIZED (SELECT dir.v AS v, sum(p.r // deg.dg) AS m " +
+        s"FROM dir JOIN r${i - 1} p ON p.v = dir.u " +
+        "JOIN deg ON deg.u = dir.u GROUP BY 1), "
+      sb ++= s"r$i AS MATERIALIZED (SELECT n.v, " +
+        "CAST(CASE WHEN n.v = (SELECT sv FROM src) THEN 150000000000 ELSE 0 END " +
+        "+ (85 * coalesce(m.m, 0)) // 100 AS BIGINT) AS r " +
+        s"FROM nodes n LEFT JOIN m$i m ON m.v = n.v), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT v AS name, r AS rank_fp FROM r$iters ORDER BY name"
+    sb.toString
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // O1/O2/O6/O10/O11: scans + canonical edge dedup + node/edge counts.
@@ -233,22 +301,25 @@ object GraphSuite {
       }),
 
     // Row 45 stretch: PERSONALIZED PageRank (proximity to a fixed source
-    // node on ego 698's friend graph) — no SQL oracle (iterative
-    // personalized mass); invariants in GraphxAnalyticsSpec (source
-    // dominates, non-negative, zero mass outside the source's component).
+    // node on ego 698's friend graph), now FULLY ORACLED (r11): the
+    // engine iterates in fixed-point BIGINT (rank·1e12, truncating
+    // division — bit-exact in any engine, see GraphxAnalytics.RankScale)
+    // and the oracle unrolls the same 10 power-iteration rounds as
+    // MATERIALIZED CTE stages (the g11 k-core pattern — each round
+    // references the previous twice, so default inlining would blow up
+    // exponentially). The library double-arithmetic PPR keeps its
+    // invariant coverage in GraphxAnalyticsSpec.
     QuerySpec("g12_ppr",
-      (s, _) => graft.graphx.GraphxAnalytics.personalizedRanks(s, dataDir, "698"),
-      None,
-      gate = Some("property:GraphxAnalyticsSpec/PPR source dominance + component mass")),
+      (s, _) => graft.graphx.GraphxAnalytics.personalizedRankFixed(s, dataDir, "698"),
+      Some(pprOracle("698", iters = 10))),
 
-    // Row 45 stretch: PageRank over G⁺ — no SQL oracle (iterative agg);
-    // invariants asserted in GraphxAnalyticsSpec (mass conservation, ego
-    // hub dominance).
+    // Row 45 stretch: PageRank over G⁺, FULLY ORACLED (r11) via the same
+    // fixed-point discipline as g12 — 10 deterministic integer rounds,
+    // DuckDB unrolls them; the double staticPageRank stays spec-gated.
     QuerySpec("g09_pagerank",
-      (s, _) => graft.graphx.GraphxAnalytics.pageranks(
+      (s, _) => graft.graphx.GraphxAnalytics.pagerankFixed(
         s, dataDir, Seq("3980", "698")),
-      None,
-      gate = Some("property:GraphxAnalyticsSpec/mass conservation + ego hub dominance")),
+      Some(pagerankOracle(Seq("3980", "698"), iters = 10))),
 
     // Map-typed property bag: map_contains_key / element_at over the
     // decoded MAP<STRING,STRING> column (operator row 34).

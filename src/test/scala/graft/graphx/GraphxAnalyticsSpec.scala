@@ -49,6 +49,50 @@ class GraphxAnalyticsSpec extends SparkSuite {
     assert(offComponent.isEmpty, s"mass leaked outside the component: $offComponent")
   }
 
+  test("fixed-point pagerank (g09's oracled path) tracks the double library implementation") {
+    // Same recurrence (rank' = 0.15 + 0.85·Σ rank/outdeg, 10 rounds), two
+    // arithmetic systems: GraphX staticPageRank in doubles vs the
+    // bit-exact BIGINT fixed-point that the DuckDB oracle replicates.
+    // Truncating at 1e-12 per division keeps the paths within ~1e-9 of
+    // each other; the double path additionally rounds to 6 decimals, so
+    // 1e-4 is a generous, non-flaky band that still catches any real
+    // formula divergence (wrong reset, missing spoke, degree off-by-one).
+    val fp = GraphxAnalytics.pagerankFixed(spark, GraphSuite.dataDir, Seq("3980", "698"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("rank_fp").toDouble / GraphxAnalytics.RankScale).toMap
+    val dbl = GraphxAnalytics.pageranks(spark, GraphSuite.dataDir, Seq("3980", "698"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("rank")).toMap
+    assert(fp.keySet == dbl.keySet)
+    fp.foreach { case (k, v) =>
+      assert(math.abs(v - dbl(k)) < 1e-4, s"$k: fixed=$v double=${dbl(k)}")
+    }
+  }
+
+  test("fixed-point PPR (g12's oracled path): source dominates, mass confined to its component") {
+    val ranks = GraphxAnalytics.personalizedRankFixed(spark, GraphSuite.dataDir, "698")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_fp")).toMap
+    assert(ranks.values.forall(_ >= 0L))
+    val src = ranks.keys.map(_.toLong).min.toString
+    assert(ranks(src) == ranks.values.max, s"source $src is not the max")
+    // Positive mass only on nodes reachable from the source.
+    val edges = graft.snap.EgoGraphs.load(spark, GraphSuite.dataDir).edges
+      .filter(col("ego") === "698")
+      .select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val seen = scala.collection.mutable.Set(src)
+    var frontier = Set(src)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).diff(seen)
+      seen ++= frontier
+    }
+    val leaked = ranks.filter { case (n, r) => r > 0L && !seen.contains(n) }
+    assert(leaked.isEmpty, s"mass leaked outside the component: $leaked")
+  }
+
   test("connected components: ego 348 friend graph is connected, 3980 is not") {
     val cc = GraphxAnalytics.componentStats(spark, GraphSuite.dataDir,
       Seq("348", "3980")).collect()
