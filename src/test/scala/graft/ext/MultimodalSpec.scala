@@ -6,23 +6,67 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
 
-  test("decode plumbing: deterministic stub features for every payload") {
-    val media = Multimodal.mediaFromDocuments(spark, sf)
-    val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.length == media.count())
-    // Deterministic: two runs produce identical checksums.
-    val again = Multimodal.extractFeatures(media).collect()
-    assert(feats.map(f => f.doc_id -> f.checksum).toMap ==
-      again.map(f => f.doc_id -> f.checksum).toMap)
-    feats.foreach { f =>
-      assert(f.width >= 1 && f.width <= 256)
-      assert(f.frames >= 1)
+  private def hex(s: String): Array[Byte] =
+    s.split("\\s+").filter(_.nonEmpty).map(Integer.parseInt(_, 16).toByte)
+
+  test("decodeBmp parses the canonical public 2x2 24-bit BMP (foreign golden bytes)") {
+    // The well-known 70-byte example from the public BMP format
+    // documentation — NOT produced by our encoder, so a symmetric
+    // encoder/decoder offset bug cannot pass this test.
+    val bmp = hex(
+      "42 4D 46 00 00 00 00 00 00 00 36 00 00 00 28 00 00 00 " +
+        "02 00 00 00 02 00 00 00 01 00 18 00 00 00 00 00 " +
+        "10 00 00 00 13 0B 00 00 13 0B 00 00 00 00 00 00 00 00 00 00 " +
+        "00 00 FF FF FF FF 00 00 FF 00 00 00 FF 00 00 00")
+    val m = Multimodal.decodeBmp(Multimodal.Media(7L, bmp))
+    assert(m.width == 2 && m.height == 2 && m.bpp == 24)
+    assert(m.file_size == 70L && m.row_stride == 8 && m.n_pixel_bytes == 16L)
+    // Independent checksum: read the pixel slice at the KNOWN offset 54.
+    val expected = bmp.drop(54).zipWithIndex
+      .map { case (b, i) => (b & 0xffL) * (i + 1) }.sum
+    assert(m.pixel_checksum == expected)
+  }
+
+  test("decodeWav parses a hand-written PCM WAV (foreign golden bytes)") {
+    // Minimal 48-byte RIFF/WAVE: mono, 8000 Hz, 16-bit, two samples
+    // (+1, -1). Hand-assembled here, independent of wavBytes.
+    val wav = hex(
+      "52 49 46 46 28 00 00 00 57 41 56 45 " +
+        "66 6D 74 20 10 00 00 00 01 00 01 00 40 1F 00 00 " +
+        "80 3E 00 00 02 00 10 00 " +
+        "64 61 74 61 04 00 00 00 01 00 FF FF")
+    val m = Multimodal.decodeWav(Multimodal.Media(3L, wav))
+    assert(m.channels == 1 && m.sample_rate == 8000 && m.bits == 16)
+    assert(m.byte_rate == 16000 && m.block_align == 2)
+    assert(m.n_frames == 2L && m.duration_us == 250L)
+    assert(m.sample_checksum == 1L * 1 + -1L * 2)
+  }
+
+  test("encode-decode round trip matches the oracle's closed forms (junk chunk walked)") {
+    // Ids cover both parities: odd ids put a LIST junk chunk before fmt,
+    // so this fails if the WAV decoder assumes fixed offsets.
+    for (id <- Seq(0L, 1L, 2L, 13L, 28L, 97L)) {
+      val w = Multimodal.decodeWav(Multimodal.Media(id, Multimodal.wavBytes(id)))
+      assert(w.channels == 1 + (id % 2).toInt)
+      assert(w.sample_rate == 8000 + (id % 3).toInt * 4000)
+      assert(w.n_frames == 64 + id % 100)
+      assert(w.duration_us == w.n_frames * 1000000L / w.sample_rate)
+      val nS = math.min(w.n_frames * w.channels, 128L).toInt
+      val cs = (0 until nS).map(i => (((id * 31 + i * 17) % 65536) - 32768) * (i + 1)).sum
+      assert(w.sample_checksum == cs, s"wav checksum for id $id")
+
+      val b = Multimodal.decodeBmp(Multimodal.Media(id, Multimodal.bmpBytes(id, "some text")))
+      assert(b.width == 4 + (id % 29).toInt && b.height == 2 + (id % 13).toInt)
+      assert(b.bpp == 24)
+      assert(b.row_stride == ((b.width * 3 + 3) / 4) * 4)
+      assert(b.n_pixel_bytes == b.row_stride.toLong * b.height)
+      assert(b.file_size == 54L + b.n_pixel_bytes)
     }
   }
 
   test("mapPartitions decode preserves partitioning (no shuffle, no collect)") {
-    val media = Multimodal.mediaFromDocuments(spark, sf).repartition(7)
-    val out = Multimodal.extractFeatures(media)
+    val media = Multimodal.bmpFromDocuments(spark, sf).repartition(7)
+    val out = Multimodal.extractBmp(media)
     assert(out.rdd.getNumPartitions == 7)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),

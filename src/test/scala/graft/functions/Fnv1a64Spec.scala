@@ -27,12 +27,11 @@ class Fnv1a64Spec extends SparkSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
-  test("binary input: same hash as the multimodal stub checksum") {
+  test("binary input: expression hash matches the reference Scala implementation") {
     import spark.implicits._
     val viaExpr = Seq("payload bytes").toDF("s")
       .selectExpr("fnv1a64(encode(s, 'UTF-8')) AS h").head().getLong(0)
-    val media = graft.ext.Multimodal.Media(0L, "payload bytes".getBytes("UTF-8"))
-    assert(viaExpr == graft.ext.Multimodal.fakeDecode(media).checksum)
+    assert(viaExpr == graft.functions.Fnv1a64.hash("payload bytes".getBytes("UTF-8")))
   }
 
   test("type errors are analysis-time, not runtime") {
