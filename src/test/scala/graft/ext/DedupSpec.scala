@@ -39,11 +39,31 @@ class DedupSpec extends SparkSuite {
       .toDF("doc_id", "toks").coalesce(1)
     val pairs = DedupSuite.minhashPairs(spark, sf, 0.5, docs = docs)
     val plan = pairs.queryExecution.executedPlan.toString
+    // Anchor the assertion BENEATH the similarity join (r10 advice): the
+    // tree prints top-down, so an exchange feeding the join's inputs
+    // starts after the join operator's line — a doc_id exchange added
+    // above the join (some future agg) cannot keep this green if the
+    // fan-out repartition is removed.
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, s"no join operator in LSH plan:\n$plan")
     val fanouts = """hashpartitioning\(doc_id#\d+L?, (\d+)\)""".r
-      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
-    assert(fanouts.nonEmpty, s"no doc_id repartition in plan:\n$plan")
+      .findAllMatchIn(plan).filter(_.start > joinIdx).map(_.group(1).toInt).toSeq
+    assert(fanouts.nonEmpty, s"no doc_id repartition beneath the LSH join in plan:\n$plan")
     assert(fanouts.max >= spark.sparkContext.defaultParallelism,
       s"LSH join fan-out ${fanouts.max} < ${spark.sparkContext.defaultParallelism}")
+  }
+
+  test("q139 composed LSH cosine dedup: identical to exact all-pairs q68, no cartesian") {
+    val composed = DedupSuite.lshCosineDedup(spark, sf, tau = 0.3, idBound = 100L)
+    val plan = composed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the bucket join, not an all-pairs product:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = DedupSuite.specs.find(_.name == "q68_cosine_neardup_dedup").get
+      .run(spark, sf)
+    assert(rows(composed) == rows(exact),
+      "LSH candidate set missed a qualifying pair on the oracle slice")
   }
 
   test("minhash pairs agree with exact token-set Jaccard (no false accepts far over threshold)") {
