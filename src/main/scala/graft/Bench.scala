@@ -22,7 +22,13 @@ import org.apache.spark.sql.DataFrame
   *   - `inflation_index` = median over substantial queries (min ≥ 0.15 s)
   *     of their median/min run ratio. On a quiet host this sits near 1.0–1.1
   *     regardless of plans; a round inflated by ambient load shows > ~1.4
-  *     even when the sentinel got lucky. `contaminated` = either trip.
+  *     even when the sentinel got lucky.
+  *   - `shared27_retime` (r11): the headline queries run once more at the
+  *     very END; `ratio_vs_median` = retime sum / sum of timed medians.
+  *     Early-run load that lifts mid-run leaves the medians inflated but
+  *     the retime fast — ratio < 0.7 (with a ≥ 2 s headline sum) trips on
+  *     its own, the shape the r10 driver artifact missed.
+  *     `contaminated` = any trip.
   *
   * Artifact plumbing (round-6 lesson: the driver records only the LAST
   * ~2000 chars of stdout; the full 15 KB JSON line never parsed in ANY
@@ -104,6 +110,17 @@ object Bench {
     }
     sentinelRun()
 
+    // Shared-27 re-time (r10: the driver's r10 artifact burned the
+    // shared-27 headline 1.5× under early-run host load without tripping
+    // the detector): one more single pass over the headline queries at
+    // the very END of the run. If the timed phase ran under ambient load
+    // that later lifted, this sum comes out well BELOW the sum of the
+    // earlier medians — a second, position-shifted sentinel block that
+    // catches exactly the early-load shape the q01 sentinel can miss.
+    def isShared(n: String): Boolean = shared27.exists(n.startsWith)
+    val retimes = names.filter(isShared).map(n => n -> timeOne(n, timed = false))
+    val retimeSum = retimes.collect { case (_, t) if t >= 0 => t }.sum
+
     // Fit-vs-serve split (r9 verdict item 6): the q53/q134/q135 ANN
     // entries serve from per-JVM memoized models — the warm-up pass
     // populates the memo, so their timed medians above measure the SERVE
@@ -147,9 +164,15 @@ object Bench {
     val total = times.map(_._2).filter(_ >= 0).sum
     val totalMin = minsByName.map(_._2).filter(_ >= 0).sum
 
-    def isShared(n: String): Boolean = shared27.exists(n.startsWith)
     val s27med = times.collect { case (n, v) if isShared(n) && v >= 0 => v }.sum
     val s27min = minsByName.collect { case (n, v) if isShared(n) && v >= 0 => v }.sum
+    // Early-load trip: the end-of-run shared-27 pass sums well below the
+    // timed medians ⇒ the timed phase was inflated by load that has since
+    // lifted. Armed only when the headline sum is substantial (≥ 2 s) —
+    // a sub-second 27-sum is scheduler noise, same reasoning as the
+    // sub-second sentinel loosening.
+    val retimeRatio = if (s27med > 0 && retimeSum > 0) retimeSum / s27med else -1.0
+    val earlyLoad = s27med >= 2.0 && retimeRatio > 0 && retimeRatio < 0.7
 
     // Trimmed spread (2nd-highest / 2nd-lowest of the ~9 samples): raw
     // max/min on a sub-second sentinel is scheduler noise — a single
@@ -194,15 +217,18 @@ object Bench {
     }
     val spreadGate = if (sentinelMedian > 0 && sentinelMedian < 1.0) 3.0 else 1.5
     val contaminated =
-      (inflation > 1.4) || (spread > spreadGate && (ratios.isEmpty || inflation > 1.15))
+      (inflation > 1.4) || (spread > spreadGate && (ratios.isEmpty || inflation > 1.15)) ||
+        earlyLoad
 
     val sentinel =
       s"""{"query":"$sentinelName","times":[${sentinelTimes.map(fmt).mkString(",")}],"spread":${fmt(spread)}}"""
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val annFitJson = annFitTimes
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val retimeJson =
+      s"""{"sum_sec":${fmt(retimeSum)},"ratio_vs_median":${fmt(retimeRatio)},"early_load_trip":$earlyLoad}"""
     val envMeta =
-      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"ann_fit_sec":$annFitJson,"sentinel":$sentinel"""
+      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"shared27_retime":$retimeJson,"ann_fit_sec":$annFitJson,"sentinel":$sentinel"""
     val fullJson =
       s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,$envMeta,"queries_min":$mins,"runs":$allRuns}"""
     val slowest = times.filter(_._2 >= 0).sortBy(-_._2).take(8)

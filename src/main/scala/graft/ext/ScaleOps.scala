@@ -73,8 +73,9 @@ object ScaleOps {
   // after staging.
   // The manifest keeps the collected (f, mn, mx) Rows with their schema so
   // the min/max values round-trip in whatever external type the session's
-  // datetime API produces (java.time.LocalDateTime under Spark 4's
-  // java8API default — not java.sql.Timestamp).
+  // datetime API produces (java.time.Instant for TIMESTAMP /
+  // java.time.LocalDateTime for TIMESTAMP_NTZ under Spark 4's java8API
+  // default — keeping the collected schema makes either round-trip).
   private final case class SkipLayout(
       dir: String, manifest: Array[org.apache.spark.sql.Row],
       manifestSchema: org.apache.spark.sql.types.StructType)
@@ -84,8 +85,14 @@ object ScaleOps {
   private def stagedLayout(s: org.apache.spark.sql.SparkSession, d: String): SkipLayout =
     stagedLayouts.synchronized {
       stagedLayouts.getOrElseUpdate(d, {
-        val dir = root.resolve(
-          "graft-skip-" + java.lang.Integer.toHexString(d.hashCode)).toString
+        // Collision-resistant dir name (r10 advice): two dataset dirs with
+        // colliding String.hashCode would otherwise share one parquet
+        // path, and the second staging would overwrite files the first
+        // entry's cached manifest still lists.
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val dir = root.resolve("graft-skip-" + digest).toString
         // Layout: range-cluster on the predicate column so file-level
         // min/max ranges are tight and disjoint — the layout step that
         // makes skipping effective (same reason Z-order exists; this is

@@ -56,11 +56,14 @@ object WeightedPaths {
     // Materialize the answer BEFORE unpersisting: Pregel's result graph
     // is what res.vertices reads, and downstream actions (the Verify
     // dump) must not silently re-run four Bellman-Ford rounds. Eager
-    // localCheckpoint, not cache(): Bench and Verify share one session
+    // checkpoint, not cache(): Bench and Verify share one session
     // across all queries, and a permanent cache per invocation pins the
     // result for the session lifetime — checkpointed RDDs are GC-managed.
-    val out = res.vertices.filter(_._2 < Inf).toDF("node", "dist")
-      .orderBy("node").localCheckpoint()
+    // Durability follows the session's checkpoint config
+    // (graft.Checkpointing): local blocks by default, reliable
+    // checkpoint when a cluster-visible dir is set.
+    val out = graft.Checkpointing.stable(
+      res.vertices.filter(_._2 < Inf).toDF("node", "dist").orderBy("node"))
     res.unpersist(blocking = false)
     tuples.unpersist(blocking = false)
     out

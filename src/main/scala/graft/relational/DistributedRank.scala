@@ -46,13 +46,14 @@ object DistributedRank {
     val off = out + "_off"
     // Eagerly materialized: mid/pid are frozen at checkpoint time, so
     // the offsets branch below counts the exact partitions the ranked
-    // branch reads — one range-boundary sample, not two.
-    val sorted = df
+    // branch reads — one range-boundary sample, not two. Durability
+    // follows the session's checkpoint config (graft.Checkpointing):
+    // local blocks here, reliable checkpoint when a cluster dir is set.
+    val sorted = graft.Checkpointing.stable(df
       .repartitionByRange(sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn(mid, monotonically_increasing_id())
-      .withColumn(pid, spark_partition_id().cast("long"))
-      .localCheckpoint()
+      .withColumn(pid, spark_partition_id().cast("long")))
     val offW = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sorted.groupBy(pid).agg(count(lit(1)).as(n))
       .withColumn(off, coalesce(sum(n).over(offW), lit(0L)))

@@ -28,6 +28,18 @@ class RelationalGapsSpec extends SparkSuite {
       RelationalSuite.byName(name).run(spark, sf).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
         .toMap
+    // The swap-in's plan contract (r10 verdict item 8): six exact
+    // COUNT(DISTINCT)s force an Expand (a 6-fold row amplification of
+    // the scan) in q115; the HLL profiler's WHOLE POINT is one un-expanded
+    // scan. Pin both sides of the contrast.
+    val apxPlan = RelationalSuite.byName("q133_profile_approx").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!apxPlan.contains("Expand"),
+      s"q133 must profile in ONE un-expanded scan:\n$apxPlan")
+    val exactPlan = RelationalSuite.byName("q115_profile").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "q115's exact distincts no longer expand — revisit whether q133's swap-in story still holds")
     val apx = byCol("q133_profile_approx")
     val exact = byCol("q115_profile")
     assert(apx.keySet == exact.keySet)
