@@ -61,9 +61,13 @@ object RecallGate {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outPath) = args
-    val spark = Sessions.local("graft-recall-gate")
+  /** All gates over a derived copy-structured fixture dir; returns
+    * (metrics, failures). Callable from the CLI main (sf1/sf10 on-demand
+    * gates) AND from RecallGateSpec, which derives a small ~3-copy
+    * fixture so the single-task-verification class of regression fails
+    * `sbt test`, not just the manual gate (r10 verdict item 6). */
+  def run(spark: SparkSession, sfDir: String, minRecall: Double = 0.6)
+      : (collection.Map[String, Double], Seq[String]) = {
     import spark.implicits._
     val k = 10
 
@@ -102,26 +106,26 @@ object RecallGate {
       expr("2 * array_dot(arr, pvec)") - expr("array_dot(arr, arr)")
     gate("q49_lsh_recall_at10", meanRecall("q49",
       p => SimilaritySuite.annTopK(spark, sfDir, p, k)
-        .select("vec_id").as[Long].collect().toSeq, negDist), 0.6)
+        .select("vec_id").as[Long].collect().toSeq, negDist), minRecall)
 
     // --- q53 IVF (dot), entry parameters (nlist 16 / nprobe 4), fit once
     val dotM = expr("array_dot(arr, pvec)")
     val ivfModel = SimilaritySuite.cachedIvf(spark, sfDir, 16)
     gate("q53_ivf_recall_at10", meanRecall("q53",
       p => SimilaritySuite.ivfTopK(spark, sfDir, p, k, modelIn = ivfModel)
-        .select("vec_id").as[Long].collect().toSeq, dotM), 0.6)
+        .select("vec_id").as[Long].collect().toSeq, dotM), minRecall)
 
     // --- q134 PQ-ADC (dot), fit once --------------------------------------
     val pqModel = SimilaritySuite.cachedPq(spark, sfDir)
     gate("q134_pq_recall_at10", meanRecall("q134",
       p => SimilaritySuite.pqTopK(spark, sfDir, p, k, modelIn = pqModel)
-        .select("vec_id").as[Long].collect().toSeq, dotM), 0.6)
+        .select("vec_id").as[Long].collect().toSeq, dotM), minRecall)
 
     // --- q135 IVF-PQ (dot), entry parameters (nlist 8 / nprobe 4) ---------
     val ivfPqModel = SimilaritySuite.cachedIvfPq(spark, sfDir, 8)
     gate("q135_ivfpq_recall_at10", meanRecall("q135",
       p => SimilaritySuite.ivfPqTopK(spark, sfDir, p, k, nlist = 8, nprobe = 4,
-        modelIn = ivfPqModel).select("vec_id").as[Long].collect().toSeq, dotM), 0.6)
+        modelIn = ivfPqModel).select("vec_id").as[Long].collect().toSeq, dotM), minRecall)
 
     // --- q70 batch ANN (cosine) over the first 50 probes ------------------
     val cosM =
@@ -134,7 +138,7 @@ object RecallGate {
       val (withP, _) = withProbe(p)
       recallOf(withP, cosM, p, k, batch.getOrElse(p, Seq.empty))
     }
-    gate("q70_batch_mean_recall_at10", batchRecalls.sum / batchRecalls.size, 0.6)
+    gate("q70_batch_mean_recall_at10", batchRecalls.sum / batchRecalls.size, minRecall)
 
     // --- q69 dedup clusters: 10-copy families must collapse ---------------
     val famDocs = Tables(spark, sfDir, "documents")
@@ -174,9 +178,19 @@ object RecallGate {
     gate("q91_partition_complete",
       if (sem.getLong(0) + sem.getLong(1) == nVecs) 1.0 else 0.0, 1.0)
 
+    results("n_vecs") = nVecs.toDouble
+    (results, failures.toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outPath) = args
+    val spark = Sessions.local("graft-recall-gate")
+    val (results, failures) = run(spark, sfDir)
+    val nVecs = results("n_vecs").toLong
+
     def fmt(d: Double) = "%.4f".format(d)
     val body = results.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
-    val json = s"""{"sf":"$sfDir","n_vecs":$nVecs,"probes":[${probes.mkString(",")}],""" +
+    val json = s"""{"sf":"$sfDir","n_vecs":$nVecs,""" +
       s""""pass":${failures.isEmpty},"failures":[${failures.map("\"" + _ + "\"").mkString(",")}],$body}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println("GRAFT_RECALL_JSON")
