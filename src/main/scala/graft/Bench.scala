@@ -52,6 +52,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Host conditions at run start/end (r11 verdict item 7): two
+    // `contaminated:false` artifacts on identical code still differed 12%;
+    // the 1-minute load average lets cross-run deltas be adjudicated from
+    // the artifacts alone (a loaded-but-not-tripping host is visible).
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val spark = Sessions.local("graft-bench")
 
     // Excluded from the timed set: streaming queries (they measure
@@ -130,7 +137,8 @@ object Bench {
     val annFitTimes: Seq[(String, Double)] = Seq[(String, () => Any)](
       "q53_fit_ivf" -> (() => ext.SimilaritySuite.fitIvf(spark, sfDir, 16)),
       "q134_fit_pq" -> (() => ext.SimilaritySuite.fitPq(spark, sfDir)),
-      "q135_fit_ivfpq" -> (() => ext.SimilaritySuite.fitIvfPq(spark, sfDir, 8))
+      "q135_fit_ivfpq" -> (() => ext.SimilaritySuite.fitIvfPq(spark, sfDir, 8)),
+      "q139_fit_lsh" -> (() => ext.DedupSuite.fitCosineLsh(spark, sfDir, 100L))
     ).map { case (n, f) =>
       try {
         val t0 = System.nanoTime()
@@ -227,8 +235,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val retimeJson =
       s"""{"sum_sec":${fmt(retimeSum)},"ratio_vs_median":${fmt(retimeRatio)},"early_load_trip":$earlyLoad}"""
+    val hostJson =
+      s"""{"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val envMeta =
-      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"shared27_retime":$retimeJson,"ann_fit_sec":$annFitJson,"sentinel":$sentinel"""
+      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"host":$hostJson,"shared27_retime":$retimeJson,"ann_fit_sec":$annFitJson,"sentinel":$sentinel"""
     val fullJson =
       s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,$envMeta,"queries_min":$mins,"runs":$allRuns}"""
     val slowest = times.filter(_._2 >= 0).sortBy(-_._2).take(8)

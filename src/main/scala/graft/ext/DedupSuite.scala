@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.graphx.Graph
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -119,6 +119,46 @@ object DedupSuite {
     out
   }
 
+  /** The q139 corpus in MLlib shape: original float embedding + norm kept
+    * for the exact refine, L2-normalized double vector as the LSH input.
+    * `vecsIn` (a (vec_id, embedding) frame) overrides the idBound slice —
+    * the RecallGate passes a copy-family slice of a derived fixture. */
+  private def cosineCorpus(s: SparkSession, d: String, idBound: Long,
+      vecsIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val base = Option(vecsIn).getOrElse(
+      Tables(s, d, "embeddings").filter(col("vec_id") < idBound))
+    base.select(col("vec_id"), col("embedding"),
+        sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("u"))
+      .as[(Long, Seq[Float], Double, Seq[Double])]
+      .map { case (id, emb, nrm, u) => (id, emb, nrm, Vectors.dense(u.toArray)) }
+      .toDF("vec_id", "embedding", "nrm", "features")
+  }
+
+  // Fit-once / serve-many memo for the q139 LSH model (same discipline as
+  // SimilaritySuite's cachedIvf/cachedPq, r11 verdict item 3): a BRP-LSH
+  // fit only draws the seeded random projection vectors for the input
+  // DIMENSION — it is deterministic and data-independent beyond dim — so
+  // a memoized model is bit-identical to a refit. Bench times the fit
+  // separately (`ann_fit_sec.q139_fit_lsh`); the q139 median measures the
+  // candidate join + exact refine, the serve path.
+  private val cosLshMemo =
+    scala.collection.mutable.Map.empty[(String, Long), BucketedRandomProjectionLSHModel]
+
+  def fitCosineLsh(s: SparkSession, d: String, idBound: Long,
+      vecsIn: DataFrame = null): BucketedRandomProjectionLSHModel = {
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(4.0).setNumHashTables(14).setSeed(42)
+    lsh.fit(cosineCorpus(s, d, idBound, vecsIn))
+  }
+
+  def cachedCosineLsh(s: SparkSession, d: String, idBound: Long): BucketedRandomProjectionLSHModel =
+    cosLshMemo.synchronized(
+      cosLshMemo.getOrElseUpdate((d, idBound), fitCosineLsh(s, d, idBound)))
+
   /** q139: the COMPOSED form of q68 — candidate pairs come out of an LSH
     * bucket join instead of an all-pairs product, then the exact cosine
     * refine + keep-lowest-id policy run unchanged on the candidates.
@@ -133,24 +173,23 @@ object DedupSuite {
     * at bucket length 4 make near-threshold misses vanishingly rare).
     * Same fan-out and no-cartesian disciplines as [[minhashPairs]]. */
   def lshCosineDedup(s: SparkSession, d: String, tau: Double,
-      idBound: Long): DataFrame = {
-    import s.implicits._
-    val unit = Tables(s, d, "embeddings").filter(col("vec_id") < idBound)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(expr("array_dot(embedding, embedding)")).as("nrm"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("u"))
-      .as[(Long, Seq[Float], Double, Seq[Double])]
-      .map { case (id, emb, nrm, u) => (id, emb, nrm, Vectors.dense(u.toArray)) }
-      .toDF("vec_id", "embedding", "nrm", "features")
+      idBound: Long, vecsIn: DataFrame = null,
+      modelIn: BucketedRandomProjectionLSHModel = null): DataFrame = {
+    val unit = cosineCorpus(s, d, idBound, vecsIn)
     val par = s.sparkContext.defaultParallelism
     val v = if (unit.rdd.getNumPartitions < par)
       unit.repartition(par, col("vec_id")) else unit
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(4.0).setNumHashTables(14).setSeed(42)
-    val model = lsh.fit(v)
-    model.approxSimilarityJoin(v, v, math.sqrt(2.0 - 2.0 * tau), "dist")
+    val model =
+      if (modelIn != null) modelIn
+      else if (vecsIn == null) cachedCosineLsh(s, d, idBound)
+      else fitCosineLsh(s, d, idBound, vecsIn)
+    // The join's distance bound is padded by a relative 1e-6 (ADVICE r11):
+    // approxSimilarityJoin verifies dist < t STRICTLY on the re-normalized
+    // doubles, while the refine below decides cos >= tau on the original
+    // floats — unpadded, a pair landing within rounding of the boundary
+    // could pass the oracle yet be dropped from the candidates. The pad
+    // keeps the exact refine the SOLE decider of the boundary.
+    model.approxSimilarityJoin(v, v, math.sqrt(2.0 - 2.0 * tau) * (1.0 + 1e-6), "dist")
       .select(col("datasetA.vec_id").as("a_id"),
         col("datasetB.vec_id").as("b_id"),
         (expr("array_dot(datasetA.embedding, datasetB.embedding)") /

@@ -137,25 +137,65 @@ object GraphxAnalytics {
   val RankScale = 1000000000000L
   private val RankReset = 15L * RankScale / 100L
 
+  /** ENFORCED form of the fixed-point magnitude bound (r11 verdict item
+    * 4 — previously Scaladoc prose, silent Long overflow past it): total
+    * rank mass is conserved at ≤ nodeCount·scale, every aggregated
+    * message is ≤ that mass, and the update multiplies by 85 — so
+    * `100·nodeCount·scale` (margin over 85) must fit in a Long. At the
+    * default scale (1e-12 fixed point) that admits ~9.2e4 nodes; each
+    * dropped scale digit buys a 10× larger graph. */
+  private[graphx] def requireFixedPointBounds(nodeCount: Long,
+      scale: Long = RankScale): Unit = {
+    val maxNodes = Long.MaxValue / 100L / scale
+    require(nodeCount <= maxNodes,
+      s"fixed-point PageRank overflow risk: $nodeCount nodes at scale $scale " +
+        s"admits at most $maxNodes nodes (85·Σranks ≤ 85·n·scale must stay in " +
+        "Long range) — drop a RankScale digit per 10× node count")
+  }
+
   /** One fixed-point power-iteration round: messages are
     * `rank div outdeg` along each directed edge, summed exactly as Longs
     * on the executors (aggregateMessages — map-side combined, no driver
     * state), then `reset(v) + (85·msg) div 100`. Magnitude bound: msg ≤
     * Σranks ≤ N·RankScale ≈ 1e16 at N=10⁴ nodes, so 85·msg stays far
-    * under Long range; at a 1e9-node graph RankScale drops a digit — the
-    * knob is explicit for that reason. */
+    * under Long range; at a 1e9-node graph RankScale drops a digit —
+    * [[requireFixedPointBounds]] enforces the knob up front.
+    *
+    * Cache discipline (ADVICE r11): GraphX's own Pregel pattern — each
+    * round's messages are cached and counted (which materializes the
+    * current graph's cached edges), the new graph's vertices are counted,
+    * and only THEN are the predecessor round's vertices/edges/messages
+    * released — so nothing unpersisted is ever recomputed, and a bench
+    * loop no longer pins ~iters cached graphs per invocation. */
   private def iterateFixed(g0: Graph[Unit, Int], iters: Int,
       reset: VertexId => Long, init: VertexId => Long): Graph[(Long, Long), Int] = {
+    requireFixedPointBounds(g0.numVertices)
     var rg: Graph[(Long, Long), Int] = g0.outerJoinVertices(g0.outDegrees) {
       (vid, _, d) => (math.max(d.getOrElse(0).toLong, 1L), init(vid))
     }.cache()
+    if (iters <= 0) return rg
+    val send = (ctx: org.apache.spark.graphx.EdgeContext[(Long, Long), Int, Long]) =>
+      ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
+    var msgs = rg.aggregateMessages[Long](send, _ + _).cache()
+    msgs.count() // forces + caches rg's edges before the first join
     var i = 0
     while (i < iters) {
-      val msgs = rg.aggregateMessages[Long](
-        ctx => ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1), _ + _)
-      rg = rg.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
+      val prev = rg
+      val prevMsgs = msgs
+      rg = prev.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
         (d, reset(vid) + 85L * m.getOrElse(0L) / 100L)
       }.cache()
+      if (i + 1 < iters) {
+        // Next round's messages force + cache the new graph's edge view
+        // (derived from prev's edge partitions) before prev is released.
+        msgs = rg.aggregateMessages[Long](send, _ + _).cache()
+        msgs.count()
+      } else {
+        rg.vertices.count() // final round: callers read vertices only
+      }
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      prevMsgs.unpersist(blocking = false)
       i += 1
     }
     rg
@@ -172,7 +212,10 @@ object GraphxAnalytics {
     import s.implicits._
     val g = friendGraph(s, dataDir, egos, withEgoCenter = true)
     val rg = iterateFixed(g, iters, _ => RankReset, _ => RankScale)
-    rg.vertices
+    // Materialize the (ego-network-sized) output, then release the final
+    // iteration's cached graph — same contract as DedupSuite.dedupClusters
+    // (the ContextCleaner reclaims the small cached DF when it's GC'd).
+    val out = rg.vertices
       .map { case (vid, (_, r)) =>
         val i = (vid / Offset).toInt
         val n = vid % Offset
@@ -182,6 +225,10 @@ object GraphxAnalytics {
       .select(element_at(typedLit(egos), col("egoIdx") + 1).as("ego"),
         col("name"), col("rank_fp"))
       .orderBy("ego", "name")
+      .cache()
+    out.count()
+    rg.unpersist(blocking = false)
+    out
   }
 
   /** (name, rank_fp) — deterministic PERSONALIZED PageRank on one ego's
@@ -197,10 +244,14 @@ object GraphxAnalytics {
     val rg = iterateFixed(g, iters,
       reset = vid => if (vid == src) RankReset else 0L,
       init = vid => if (vid == src) RankScale else 0L)
-    rg.vertices
+    val out = rg.vertices
       .map { case (vid, (_, r)) => ((vid % Offset).toString, r) }
       .toDF("name", "rank_fp")
       .orderBy("name")
+      .cache()
+    out.count()
+    rg.unpersist(blocking = false)
+    out
   }
 
   /** (ego, name, rank) — static PageRank over G⁺ (ego spokes included). */

@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *    cluster whose keep_id is a base-copy id;
   *  - q91: with every vector duplicated 10×, survivors can be at most the
   *    base-copy count (all non-first copies sit in their copy's cell at
-  *    cos = 1 ≥ tau and must drop).
+  *    cos = 1 ≥ tau and must drop);
+  *  - q139: the LSH-composed cosine dedup on the copy-family slice —
+  *    every non-base copy must be dropped with a base-copy dup_of
+  *    (exact copies hash identically, so the bucket join cannot miss
+  *    them), and survivors are bounded by the base-copy count.
   *
   * Writes one JSON line (marker GRAFT_RECALL_JSON) + `<out>` file; exits
   * nonzero if any gate fails. Usage: RecallGate <derivedSfDir> <outJson>
@@ -67,7 +71,7 @@ object RecallGate {
     * fixture so the single-task-verification class of regression fails
     * `sbt test`, not just the manual gate (r10 verdict item 6). */
   def run(spark: SparkSession, sfDir: String, minRecall: Double = 0.6)
-      : (collection.Map[String, Double], Seq[String]) = {
+      : (collection.Map[String, Double], Seq[String], Seq[Long]) = {
     import spark.implicits._
     val k = 10
 
@@ -178,19 +182,51 @@ object RecallGate {
     gate("q91_partition_complete",
       if (sem.getLong(0) + sem.getLong(1) == nVecs) 1.0 else 0.0, 1.0)
 
+    // --- q139 LSH-composed cosine dedup (r11 verdict item 2): the same
+    // family-collapse invariants as q69/q91, on the copy-family slice
+    // (every base vec_id < 100 plus ALL its id-shifted exact copies).
+    // Each copy sits at cosine 1 ≥ tau to its base with LSH distance 0 —
+    // identical hashes, so the bucket join CANNOT miss the pair — and
+    // must therefore be dropped with a base-copy dup_of (dup_of is the
+    // MIN earlier dup, and the base copy itself always qualifies).
+    val famVecs = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 100000L < 100)
+      .select("vec_id", "embedding")
+    val nFamVecs = famVecs.count()
+    val nFamBase = famVecs.filter(col("vec_id") < 100000L).count()
+    val dropped139 = DedupSuite.lshCosineDedup(spark, sfDir, tau = 0.92,
+      idBound = Long.MaxValue, vecsIn = famVecs)
+    val d139 = dropped139.agg(
+      count(lit(1)).as("n_dropped"),
+      sum(when(col("dropped_id") >= 100000L, 1L).otherwise(0L)).as("n_copy_dropped"),
+      sum(when(col("dropped_id") >= 100000L && col("dup_of") >= 100000L, 1L)
+        .otherwise(0L)).as("bad_dupof")).head()
+    results("q139_n_fam_vecs") = nFamVecs.toDouble
+    results("q139_n_dropped") = d139.getLong(0).toDouble
+    gate("q139_all_copies_dropped",
+      if (d139.getLong(1) == nFamVecs - nFamBase) 1.0 else 0.0, 1.0)
+    gate("q139_survivors_le_base",
+      if (nFamVecs - d139.getLong(0) <= nFamBase) 1.0 else 0.0, 1.0)
+    gate("q139_copy_dupof_is_base",
+      if (d139.getLong(2) == 0L) 1.0 else 0.0, 1.0)
+
     results("n_vecs") = nVecs.toDouble
-    (results, failures.toSeq)
+    (results, failures.toSeq, probes)
   }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
     val spark = Sessions.local("graft-recall-gate")
-    val (results, failures) = run(spark, sfDir)
+    val (results, failures, probes) = run(spark, sfDir)
     val nVecs = results("n_vecs").toLong
 
     def fmt(d: Double) = "%.4f".format(d)
-    val body = results.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
+    // n_vecs is emitted once, as the integer header field (ADVICE r11:
+    // the results-map copy previously duplicated the key).
+    val body = results.filter(_._1 != "n_vecs")
+      .map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
     val json = s"""{"sf":"$sfDir","n_vecs":$nVecs,""" +
+      s""""probes":[${probes.mkString(",")}],""" +
       s""""pass":${failures.isEmpty},"failures":[${failures.map("\"" + _ + "\"").mkString(",")}],$body}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println("GRAFT_RECALL_JSON")

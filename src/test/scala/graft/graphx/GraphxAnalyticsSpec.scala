@@ -133,6 +133,26 @@ class GraphxAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("fixed-point magnitude guard fires before silent Long overflow (r11 verdict item 4)") {
+    // The CLAUDE.md invariant ("drop a RankScale digit per 10× node
+    // count") is now an enforced require, not prose: 85·n·scale must fit
+    // in a Long with margin (checked as 100·n·scale). The boundary holds,
+    // one node past it throws — so a 1e9-node graph at the default scale
+    // fails fast instead of overflowing mid-iteration.
+    val maxNodes = Long.MaxValue / 100L / GraphxAnalytics.RankScale
+    GraphxAnalytics.requireFixedPointBounds(maxNodes) // boundary passes
+    val e = intercept[IllegalArgumentException] {
+      GraphxAnalytics.requireFixedPointBounds(maxNodes + 1)
+    }
+    assert(e.getMessage.contains("drop a RankScale digit"))
+    // Dropping a scale digit re-admits a 10× larger graph.
+    GraphxAnalytics.requireFixedPointBounds(maxNodes * 10,
+      GraphxAnalytics.RankScale / 10)
+    intercept[IllegalArgumentException] {
+      GraphxAnalytics.requireFixedPointBounds(1000000000L)
+    }
+  }
+
   test("scale guard: no driver-side collect in graph construction paths") {
     // The production graph paths (RDD-built GraphX graphs, distributed
     // σ-combination) must never pull edges or per-vertex state to the

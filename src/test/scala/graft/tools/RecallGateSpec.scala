@@ -31,8 +31,9 @@ class RecallGateSpec extends SparkSuite {
       // to catch regressions that crater recall or serialize the
       // verification (both land far below 0.55), not to re-grade ANN
       // quality at toy scale.
-      val (results, failures) = RecallGate.run(spark, dir, minRecall = 0.55)
+      val (results, failures, probes) = RecallGate.run(spark, dir, minRecall = 0.55)
       assert(results("n_vecs") == 1500.0)
+      assert(probes.nonEmpty)
       assert(failures.isEmpty, s"recall gates failed: ${failures.mkString("; ")}\n$results")
     } finally TmpFiles.deleteRecursively(dir)
   }
