@@ -31,6 +31,34 @@ object StreamBench {
       outRows: Long, batches: Int, dataBatches: Int, rowsPerSec: Double,
       p50Ms: Double, meanMs: Double, maxMs: Double, stateRowsMax: Long)
 
+  /** Stamp part files' modification times ascending in filename order.
+    *
+    * FileStreamSource ingests in MODIFICATION-TIME order, and a parallel
+    * write lands every part file within the same clock tick — so a
+    * `maxFilesPerTrigger=1` replay of a range-partitioned "time-ordered"
+    * dir actually picked chunks in nondeterministic tie-break order.
+    * An out-of-order early chunk advances the watermark past later
+    * chunks, silently dropping them as late data: out_rows for the
+    * stateful entries swung 11 k–43 k across otherwise-identical runs
+    * (r10 vs r12 artifacts). Range partition ids ascend with the time
+    * range, so filename order (within one write's part numbering) IS
+    * time order; distinct ascending mtimes make the replay deterministic
+    * and drop-free. Returns the last stamped mtime so later writes (the
+    * flush sentinel) can be stamped strictly after. */
+  private def orderMtimes(dir: String, after: Set[String] = Set.empty,
+      startAt: Long = System.currentTimeMillis()): Long = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-") && !after(f.getName))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(startAt + (i + 1) * 1000L)
+    }
+    startAt + parts.length * 1000L
+  }
+
+  private def partNames(dir: String): Set[String] =
+    new java.io.File(dir).listFiles().filter(_.isFile).map(_.getName).toSet
+
   private def runTimed(s: SparkSession, streamed: DataFrame, mode: String,
       name: String): Item = {
     val mem = "sb_" + UUID.randomUUID().toString.replace("-", "")
@@ -87,9 +115,15 @@ object StreamBench {
         ev.repartitionByRange(chunks, col("ts"), col("user_id"))
           .sortWithinPartitions("ts", "user_id")
           .write.mode("append").parquet(dir)
+        // Chunks get ascending mtimes FIRST; the sentinel (written next,
+        // with its own part-00000 name) is stamped strictly after them,
+        // so it is ingested last — the flush must not precede the data.
+        val chunkNames = partNames(dir)
+        val lastMtime = orderMtimes(dir)
         val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
         Seq((-1L, new java.sql.Timestamp(maxTs + 24 * 3600 * 1000L)))
           .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+        orderMtimes(dir, after = chunkNames, startAt = lastMtime + 60000L)
         val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
           .option("maxFilesPerTrigger", 1).parquet(dir)
         runTimed(spark, StatefulSessions.sessionize(stream).toDF(),
@@ -102,6 +136,7 @@ object StreamBench {
     def replayed(f: DataFrame => DataFrame, mode: String, name: String): Option[Item] =
       guard(name) {
         val dir = Streams.replayDir(spark, sfDir, chunks)
+        orderMtimes(dir)
         try {
           val stream = spark.readStream.schema(eventsSchema)
             .option("maxFilesPerTrigger", 1).parquet(dir)
