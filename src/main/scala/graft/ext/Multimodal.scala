@@ -202,6 +202,16 @@ object Multimodal {
           s"i -> named_struct('frame_no', i, 'frame', substring(payload, i * 256 + 1, 256))))"))
       .filter(octet_length(col("frame")) > 0)
 
+  /** q140's shape: sampled frames reduced to (doc_id, frame_no, digest,
+    * length) — the fingerprint-not-payload output a 100 TB media scan
+    * ships to the next stage. */
+  def extractFrames(ds: Dataset[Media], stride: Int = 2): DataFrame =
+    sampleFrames(ds, stride)
+      .select(col("doc_id"), col("frame_no"),
+        md5(col("frame")).as("frame_digest"),
+        octet_length(col("frame")).as("n_bytes"))
+      .orderBy("doc_id", "frame_no")
+
   /** Documents rendered as BMP payloads — the fixture stand-in for an
     * image table. Encoding happens on the executors inside the same
     * iterator pipeline the decode runs in; payload bytes never move. */
@@ -265,6 +275,30 @@ object Multimodal {
         "SELECT m2.doc_id, width, height, bpp, file_size, row_stride, " +
         "n_pixel_bytes, coalesce(cs.pixel_checksum, 0) AS pixel_checksum " +
         "FROM m2 LEFT JOIN cs USING (doc_id) ORDER BY doc_id")),
+
+    // Frame sampling as an ORACLED entry (r12 — previously spec-only):
+    // payloads are the raw UTF-8 text bytes (the q50 shape), frames are
+    // every stride-th 256-byte chunk, and each sampled frame's md5 +
+    // length has a closed form over substr(text, ...) that DuckDB
+    // recomputes (char indexing == byte indexing under the ASCII pin;
+    // DuckDB 1.0 has no BLOB md5, so the VARCHAR form is the only
+    // cross-engine digest anyway).
+    QuerySpec("q140_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) =>
+            Media(id, t.getBytes(StandardCharsets.UTF_8)) })
+        extractFrames(media)
+      },
+      Some("WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L " +
+        "FROM documents WHERE doc_id < 100), " +
+        "f AS (SELECT doc_id, CAST(unnest(generate_series(0, (L - 1) // 256, 2)) AS INT) " +
+        "AS frame_no, text, L FROM d WHERE L > 0) " +
+        "SELECT doc_id, frame_no, md5(substr(text, frame_no * 256 + 1, 256)) AS frame_digest, " +
+        "CAST(least(256, L - frame_no * 256) AS INT) AS n_bytes " +
+        "FROM f ORDER BY doc_id, frame_no")),
 
     // Real audio decode: embeddings → in-query RIFF/WAVE PCM files →
     // chunk-walking parse (odd ids carry a junk chunk before fmt).
