@@ -169,10 +169,12 @@ object GraphxAnalytics {
     * loop no longer pins ~iters cached graphs per invocation. */
   private def iterateFixed(g0: Graph[Unit, Int], iters: Int,
       reset: VertexId => Long, init: VertexId => Long): Graph[(Long, Long), Int] = {
-    requireFixedPointBounds(g0.numVertices)
     var rg: Graph[(Long, Long), Int] = g0.outerJoinVertices(g0.outDegrees) {
       (vid, _, d) => (math.max(d.getOrElse(0).toLong, 1L), init(vid))
     }.cache()
+    // Counting the CACHED graph's vertices both enforces the bound and
+    // materializes round 0 — no separate pass over the uncached base.
+    requireFixedPointBounds(rg.vertices.count())
     if (iters <= 0) return rg
     val send = (ctx: org.apache.spark.graphx.EdgeContext[(Long, Long), Int, Long]) =>
       ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
