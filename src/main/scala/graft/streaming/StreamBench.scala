@@ -47,17 +47,26 @@ object StreamBench {
     * flush sentinel) can be stamped strictly after. */
   private def orderMtimes(dir: String, after: Set[String] = Set.empty,
       startAt: Long = System.currentTimeMillis()): Long = {
-    val parts = new java.io.File(dir).listFiles()
+    val parts = listDir(dir)
       .filter(f => f.isFile && f.getName.startsWith("part-") && !after(f.getName))
       .sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(startAt + (i + 1) * 1000L)
+      // Fail FAST on an unsupported/denied stamp: silently ignoring the
+      // boolean would degrade right back to the nondeterministic
+      // tie-break ingestion this mechanism exists to prevent, while the
+      // artifact claimed otherwise.
+      require(f.setLastModified(startAt + (i + 1) * 1000L),
+        s"cannot set mtime on $f — ordered replay unavailable on this filesystem")
     }
     startAt + parts.length * 1000L
   }
 
+  private def listDir(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(sys.error(s"cannot list replay dir $dir"))
+
   private def partNames(dir: String): Set[String] =
-    new java.io.File(dir).listFiles().filter(_.isFile).map(_.getName).toSet
+    listDir(dir).filter(_.isFile).map(_.getName).toSet
 
   private def runTimed(s: SparkSession, streamed: DataFrame, mode: String,
       name: String): Item = {
@@ -136,8 +145,8 @@ object StreamBench {
     def replayed(f: DataFrame => DataFrame, mode: String, name: String): Option[Item] =
       guard(name) {
         val dir = Streams.replayDir(spark, sfDir, chunks)
-        orderMtimes(dir)
         try {
+          orderMtimes(dir)
           val stream = spark.readStream.schema(eventsSchema)
             .option("maxFilesPerTrigger", 1).parquet(dir)
           runTimed(spark, f(stream), mode, name)

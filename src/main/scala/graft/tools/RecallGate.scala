@@ -189,22 +189,37 @@ object RecallGate {
     // identical hashes, so the bucket join CANNOT miss the pair — and
     // must therefore be dropped with a base-copy dup_of (dup_of is the
     // MIN earlier dup, and the base copy itself always qualifies).
+    // Cached: the family slice otherwise re-scans the full embeddings
+    // parquet ~5× (two counts, the LSH fit's corpus pass, both join
+    // sides) — at the sf10 fixture each pass is a multi-GB scan.
     val famVecs = Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 100000L < 100)
       .select("vec_id", "embedding")
-    val nFamVecs = famVecs.count()
-    val nFamBase = famVecs.filter(col("vec_id") < 100000L).count()
+      .cache()
+    val famCounts = famVecs.agg(count(lit(1)),
+      coalesce(sum(when(col("vec_id") < 100000L, 1L).otherwise(0L)), lit(0L))).head()
+    val nFamVecs = famCounts.getLong(0)
+    val nFamBase = famCounts.getLong(1)
     val dropped139 = DedupSuite.lshCosineDedup(spark, sfDir, tau = 0.92,
       idBound = Long.MaxValue, vecsIn = famVecs)
+    // coalesce: sum() over ZERO dropped rows is NULL, and a bare getLong
+    // would NPE the tool before it printed its diagnostic JSON (e.g. when
+    // pointed at a fixture without planted copies).
     val d139 = dropped139.agg(
       count(lit(1)).as("n_dropped"),
-      sum(when(col("dropped_id") >= 100000L, 1L).otherwise(0L)).as("n_copy_dropped"),
-      sum(when(col("dropped_id") >= 100000L && col("dup_of") >= 100000L, 1L)
-        .otherwise(0L)).as("bad_dupof")).head()
+      coalesce(sum(when(col("dropped_id") >= 100000L, 1L).otherwise(0L)), lit(0L))
+        .as("n_copy_dropped"),
+      coalesce(sum(when(col("dropped_id") >= 100000L && col("dup_of") >= 100000L, 1L)
+        .otherwise(0L)), lit(0L)).as("bad_dupof")).head()
+    famVecs.unpersist(blocking = false)
     results("q139_n_fam_vecs") = nFamVecs.toDouble
     results("q139_n_dropped") = d139.getLong(0).toDouble
     gate("q139_all_copies_dropped",
       if (d139.getLong(1) == nFamVecs - nFamBase) 1.0 else 0.0, 1.0)
+    // Implied by all_copies_dropped (survivors = nFamVecs - n_dropped ≤
+    // nFamVecs - n_copy_dropped = nFamBase) — kept deliberately: it is
+    // the q91-shaped invariant readers compare across gates, and the
+    // committed RECALL artifacts carry the key.
     gate("q139_survivors_le_base",
       if (nFamVecs - d139.getLong(0) <= nFamBase) 1.0 else 0.0, 1.0)
     gate("q139_copy_dupof_is_base",
