@@ -151,6 +151,17 @@ object Bench {
       }
     }
 
+    // Side-channel timings for the two dual-implementation centrality
+    // cross-checks (r12 verdict item 7): g07/g10 stay excluded from the
+    // timed medians (many tiny iterative jobs on fixed toy graphs, not
+    // engine plans — and they ignore sfDir entirely), but the perf ledger
+    // should still cover them; one wall-clock run each, like ann_fit_sec.
+    val sideTimes: Seq[(String, Double)] = excluded.toSeq.sorted
+      .filter(SparkEntry.queries.contains).map { n =>
+        val t = timeOne(n, timed = false)
+        n -> t
+      }
+
     val times = raw.map { case (n, runs) =>
       // Median over SUCCESSFUL runs only: -1 sentinels sorting to the
       // front would otherwise pick an optimistic percentile of the
@@ -233,12 +244,14 @@ object Bench {
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val annFitJson = annFitTimes
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val sideJson = sideTimes
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val retimeJson =
       s"""{"sum_sec":${fmt(retimeSum)},"ratio_vs_median":${fmt(retimeRatio)},"early_load_trip":$earlyLoad}"""
     val hostJson =
       s"""{"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val envMeta =
-      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"host":$hostJson,"shared27_retime":$retimeJson,"ann_fit_sec":$annFitJson,"sentinel":$sentinel"""
+      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"host":$hostJson,"shared27_retime":$retimeJson,"ann_fit_sec":$annFitJson,"side_queries_sec":$sideJson,"sentinel":$sentinel"""
     val fullJson =
       s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,$envMeta,"queries_min":$mins,"runs":$allRuns}"""
     val slowest = times.filter(_._2 >= 0).sortBy(-_._2).take(8)

@@ -126,6 +126,14 @@ object DedupSuite {
   private def cosineCorpus(s: SparkSession, d: String, idBound: Long,
       vecsIn: DataFrame): DataFrame = {
     import s.implicits._
+    // An explicit frame REPLACES the idBound slice entirely — but idBound
+    // still feeds the model-memo key and the model-selection branch, so a
+    // caller passing both a meaningful bound and a frame would get an
+    // unbounded-looking contract silently (ADVICE r12). Make the override
+    // explicit at the call site.
+    require(vecsIn == null || idBound == Long.MaxValue,
+      s"vecsIn overrides the idBound slice — pass idBound = Long.MaxValue " +
+        s"with an explicit corpus frame (got idBound = $idBound)")
     val base = Option(vecsIn).getOrElse(
       Tables(s, d, "embeddings").filter(col("vec_id") < idBound))
     base.select(col("vec_id"), col("embedding"),

@@ -202,10 +202,15 @@ object Multimodal {
           s"i -> named_struct('frame_no', i, 'frame', substring(payload, i * 256 + 1, 256))))"))
       .filter(octet_length(col("frame")) > 0)
 
+  /** The q140 entry's sampling stride — ONE definition shared by the
+    * Spark call and the interpolated DuckDB oracle (ADVICE r12: a bare
+    * literal on each side could drift apart silently). */
+  val Q140Stride = 2
+
   /** q140's shape: sampled frames reduced to (doc_id, frame_no, digest,
     * length) — the fingerprint-not-payload output a 100 TB media scan
     * ships to the next stage. */
-  def extractFrames(ds: Dataset[Media], stride: Int = 2): DataFrame =
+  def extractFrames(ds: Dataset[Media], stride: Int = Q140Stride): DataFrame =
     sampleFrames(ds, stride)
       .select(col("doc_id"), col("frame_no"),
         md5(col("frame")).as("frame_digest"),
@@ -290,11 +295,15 @@ object Multimodal {
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.map { case (id, t) =>
             Media(id, t.getBytes(StandardCharsets.UTF_8)) })
-        extractFrames(media)
+        // Stride passed EXPLICITLY from the shared constant the oracle
+        // interpolates below (ADVICE r12): relying on extractFrames'
+        // default would silently desynchronize the two sides if the
+        // default ever changed.
+        extractFrames(media, stride = Q140Stride)
       },
       Some("WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L " +
         "FROM documents WHERE doc_id < 100), " +
-        "f AS (SELECT doc_id, CAST(unnest(generate_series(0, (L - 1) // 256, 2)) AS INT) " +
+        s"f AS (SELECT doc_id, CAST(unnest(generate_series(0, (L - 1) // 256, $Q140Stride)) AS INT) " +
         "AS frame_no, text, L FROM d WHERE L > 0) " +
         "SELECT doc_id, frame_no, md5(substr(text, frame_no * 256 + 1, 256)) AS frame_digest, " +
         "CAST(least(256, L - frame_no * 256) AS INT) AS n_bytes " +

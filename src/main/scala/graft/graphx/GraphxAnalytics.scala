@@ -42,11 +42,17 @@ object GraphxAnalytics {
         e.unionByName(
           members.select(col("ego"), lit(-1L).as("src"), col("n").as("dst")))
       }
+    // Cached across the sizing count AND the downstream graph build —
+    // uncached, the text parse + dedup lineage ran twice per call (r13:
+    // the second scan was a fixed tax on every g07–g12 invocation). The
+    // handful-of-KB cache is held by the returned RDD's lineage and
+    // reclaimed by the ContextCleaner when the result is GC'd — the same
+    // contract as pagerankFixed's cached output frame.
     val tuples = withSpokes.rdd.map { r =>
       val i = idx(r.getString(0))
       def vid(n: Long): VertexId = i * Offset + (if (n == -1L) Offset - 1 else n)
       (vid(r.getLong(1)), vid(r.getLong(2)))
-    }
+    }.cache()
     // Right-size partitions to edge VOLUME before anything iterates:
     // GraphX pays per-partition task scheduling on every Pregel round, so
     // a toy-sized graph spread over the full shuffle grid spends more on
@@ -153,54 +159,104 @@ object GraphxAnalytics {
         "Long range) — drop a RankScale digit per 10× node count")
   }
 
+  /** Below this node count [[iterateFixed]] runs the whole fixed-iteration
+    * chain LAZILY — one materializing job at the end instead of a
+    * barrier job per round. The barrier exists to stop cross-stage
+    * recompute of the narrow vertex/edge-view chains, whose cost is
+    * O(iters²·E) row-zips reading from shuffle files; below ~50k nodes
+    * (E ≲ 1M on social-shaped graphs) that is milliseconds, while each
+    * barrier is a full job-scheduling round trip — measured as the r12
+    * g09/g12 regression (~11 jobs × ~25 ms on the ego fixtures, median
+    * 0.70 → 0.97 s). Above the threshold the per-round Pregel discipline
+    * is the scale-correct shape and its job overhead is noise. */
+  private[graphx] val LazyChainMaxNodes = 50000L
+
   /** One fixed-point power-iteration round: messages are
     * `rank div outdeg` along each directed edge, summed exactly as Longs
     * on the executors (aggregateMessages — map-side combined, no driver
     * state), then `reset(v) + (85·msg) div 100`. Magnitude bound: msg ≤
-    * Σranks ≤ N·RankScale ≈ 1e16 at N=10⁴ nodes, so 85·msg stays far
-    * under Long range; at a 1e9-node graph RankScale drops a digit —
-    * [[requireFixedPointBounds]] enforces the knob up front.
+    * Σranks ≤ N·scale, so 85·msg stays in Long range while
+    * [[requireFixedPointBounds]] holds — at a larger graph the `scale`
+    * knob drops a digit per 10× node count.
     *
-    * Cache discipline (ADVICE r11): GraphX's own Pregel pattern — each
-    * round's messages are cached and counted (which materializes the
-    * current graph's cached edges), the new graph's vertices are counted,
-    * and only THEN are the predecessor round's vertices/edges/messages
-    * released — so nothing unpersisted is ever recomputed, and a bench
-    * loop no longer pins ~iters cached graphs per invocation. */
+    * Cache discipline (ADVICE r11, rebalanced r13): in BOTH regimes at
+    * most TWO graphs are ever cached mid-loop.
+    *  - ≤ [[LazyChainMaxNodes]]: only round 0 is cached; the rounds chain
+    *    lazily and ONE job at the end materializes the final graph's
+    *    vertices (intermediate rounds live in that job's shuffle files,
+    *    reclaimed by the ContextCleaner), then round 0 is released.
+    *  - above it: GraphX's own Pregel pattern — each round's messages are
+    *    cached and counted (which materializes the current graph's edge
+    *    view), and only THEN are the predecessor round's
+    *    vertices/edges/messages released, so nothing unpersisted is ever
+    *    recomputed.
+    *
+    * @return the final-round graph, cached, with its VERTICES
+    *         materialized — and only its vertices: the edge view is not
+    *         forced, so a caller touching `.edges` (e.g. a further
+    *         aggregateMessages pass) would recompute it from the
+    *         still-available shuffle outputs (lazy regime) or from the
+    *         base graph (barrier regime, where the predecessor's edge
+    *         cache is already released). Callers read vertices once and
+    *         `unpersist()` the graph; none touch edges. */
   private def iterateFixed(g0: Graph[Unit, Int], iters: Int,
-      reset: VertexId => Long, init: VertexId => Long): Graph[(Long, Long), Int] = {
-    var rg: Graph[(Long, Long), Int] = g0.outerJoinVertices(g0.outDegrees) {
+      reset: VertexId => Long, init: VertexId => Long,
+      scale: Long = RankScale): Graph[(Long, Long), Int] = {
+    val rg0: Graph[(Long, Long), Int] = g0.outerJoinVertices(g0.outDegrees) {
       (vid, _, d) => (math.max(d.getOrElse(0).toLong, 1L), init(vid))
     }.cache()
     // Counting the CACHED graph's vertices both enforces the bound and
     // materializes round 0 — no separate pass over the uncached base.
-    requireFixedPointBounds(rg.vertices.count())
-    if (iters <= 0) return rg
+    val nodes = rg0.vertices.count()
+    requireFixedPointBounds(nodes, scale)
+    if (iters <= 0) return rg0
     val send = (ctx: org.apache.spark.graphx.EdgeContext[(Long, Long), Int, Long]) =>
       ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
-    var msgs = rg.aggregateMessages[Long](send, _ + _).cache()
-    msgs.count() // forces + caches rg's edges before the first join
-    var i = 0
-    while (i < iters) {
-      val prev = rg
-      val prevMsgs = msgs
-      rg = prev.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
-        (d, reset(vid) + 85L * m.getOrElse(0L) / 100L)
-      }.cache()
-      if (i + 1 < iters) {
-        // Next round's messages force + cache the new graph's edge view
-        // (derived from prev's edge partitions) before prev is released.
-        msgs = rg.aggregateMessages[Long](send, _ + _).cache()
-        msgs.count()
-      } else {
-        rg.vertices.count() // final round: callers read vertices only
+    if (nodes <= LazyChainMaxNodes) {
+      // Lazy chain: no per-round action — a FIXED-iteration loop has no
+      // convergence test to run, so nothing needs the barrier. Every
+      // aggregateMessages / vertex-ship shuffle inside the one job below
+      // is written once and re-read from shuffle files by later stages.
+      var rg = rg0
+      var i = 0
+      while (i < iters) {
+        val msgs = rg.aggregateMessages[Long](send, _ + _)
+        rg = rg.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
+          (d, reset(vid) + 85L * m.getOrElse(0L) / 100L)
+        }
+        i += 1
       }
-      prev.unpersistVertices(blocking = false)
-      prev.edges.unpersist(blocking = false)
-      prevMsgs.unpersist(blocking = false)
-      i += 1
+      rg.cache()
+      rg.vertices.count() // the single materializing job for all rounds
+      rg0.unpersistVertices(blocking = false)
+      rg0.edges.unpersist(blocking = false)
+      rg
+    } else {
+      var rg = rg0
+      var msgs = rg.aggregateMessages[Long](send, _ + _).cache()
+      msgs.count() // forces + caches rg's edges before the first join
+      var i = 0
+      while (i < iters) {
+        val prev = rg
+        val prevMsgs = msgs
+        rg = prev.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
+          (d, reset(vid) + 85L * m.getOrElse(0L) / 100L)
+        }.cache()
+        if (i + 1 < iters) {
+          // Next round's messages force + cache the new graph's edge view
+          // (derived from prev's edge partitions) before prev is released.
+          msgs = rg.aggregateMessages[Long](send, _ + _).cache()
+          msgs.count()
+        } else {
+          rg.vertices.count() // final round: callers read vertices only
+        }
+        prev.unpersistVertices(blocking = false)
+        prev.edges.unpersist(blocking = false)
+        prevMsgs.unpersist(blocking = false)
+        i += 1
+      }
+      rg
     }
-    rg
   }
 
   /** (ego, name, rank_fp) — deterministic PageRank over G⁺ in fixed-point
@@ -251,6 +307,45 @@ object GraphxAnalytics {
       .toDF("name", "rank_fp")
       .orderBy("name")
       .cache()
+    out.count()
+    rg.unpersist(blocking = false)
+    out
+  }
+
+  /** Fixed-point PageRank over an ARBITRARY directed edge-tuple RDD —
+    * the scale entry point (tools.GraphScale runs it on a ≥1M-node
+    * derived graph). Same bit-exact iteration as [[pagerankFixed]], with
+    * the `scale` knob explicit: [[requireFixedPointBounds]] enforces
+    * nodeCount·scale·100 ≤ Long.MaxValue, so a 1M-node graph runs at
+    * scale = 1e10 (rank_fp = rank·1e10). Returns (id, rank_fp),
+    * materialized; the iteration graph is released before returning. */
+  def pagerankFixedEdges(s: SparkSession, edges: RDD[(VertexId, VertexId)],
+      iters: Int, scale: Long): DataFrame = {
+    import s.implicits._
+    val g = Graph.fromEdgeTuples(edges, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val rg = iterateFixed(g, iters,
+      reset = _ => 15L * scale / 100L, init = _ => scale, scale = scale)
+    val out = rg.vertices.map { case (vid, (_, r)) => (vid, r) }
+      .toDF("id", "rank_fp").cache()
+    out.count()
+    rg.unpersist(blocking = false)
+    out
+  }
+
+  /** Fixed-point PERSONALIZED PageRank over an arbitrary directed
+    * edge-tuple RDD from an explicit source — the scale sibling of
+    * [[personalizedRankFixed]]. */
+  def personalizedRankFixedEdges(s: SparkSession, edges: RDD[(VertexId, VertexId)],
+      src: VertexId, iters: Int, scale: Long): DataFrame = {
+    import s.implicits._
+    val g = Graph.fromEdgeTuples(edges, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val rg = iterateFixed(g, iters,
+      reset = vid => if (vid == src) 15L * scale / 100L else 0L,
+      init = vid => if (vid == src) scale else 0L, scale = scale)
+    val out = rg.vertices.map { case (vid, (_, r)) => (vid, r) }
+      .toDF("id", "rank_fp").cache()
     out.count()
     rg.unpersist(blocking = false)
     out

@@ -45,11 +45,19 @@ object StreamBench {
     * time order; distinct ascending mtimes make the replay deterministic
     * and drop-free. Returns the last stamped mtime so later writes (the
     * flush sentinel) can be stamped strictly after. */
-  private def orderMtimes(dir: String, after: Set[String] = Set.empty,
-      startAt: Long = System.currentTimeMillis()): Long = {
-    val parts = listDir(dir)
-      .filter(f => f.isFile && f.getName.startsWith("part-") && !after(f.getName))
-      .sortBy(_.getName)
+  private[streaming] def orderMtimes(dir: String, after: Set[String] = Set.empty,
+      startAt: Long = System.currentTimeMillis()): Long =
+    stampAscending(
+      listDir(dir)
+        .filter(f => f.isFile && f.getName.startsWith("part-") && !after(f.getName))
+        .sortBy(_.getName).toSeq,
+      startAt)
+
+  /** Stamp `parts` (already in desired ingestion order) with strictly
+    * ascending mtimes, 1 s apart, starting after `startAt`; returns the
+    * last stamped mtime. Split out of [[orderMtimes]] so StreamBenchSpec
+    * can drive the fail-fast path directly (r12 verdict item 6). */
+  private[streaming] def stampAscending(parts: Seq[java.io.File], startAt: Long): Long = {
     parts.zipWithIndex.foreach { case (f, i) =>
       // Fail FAST on an unsupported/denied stamp: silently ignoring the
       // boolean would degrade right back to the nondeterministic
@@ -161,8 +169,13 @@ object StreamBench {
     val qs = items.map { i =>
       s""""${i.name}":{"wall_sec":${"%.3f".format(i.wallSec)},"input_rows":${i.inputRows},"out_rows":${i.outRows},"batches":${i.batches},"data_batches":${i.dataBatches},"rows_per_sec":${fmt(i.rowsPerSec)},"batch_ms_p50":${fmt(i.p50Ms)},"batch_ms_mean":${fmt(i.meanMs)},"batch_ms_max":${fmt(i.maxMs)},"state_rows_max":${i.stateRowsMax}}"""
     }.mkString("{", ",", "}")
+    // Headline contract (r12 verdict item 5): rows_per_sec is Σinput /
+    // Σtrigger-busy time and still swings ±2–3× run-to-run on trigger
+    // latency — it is INFORMATIONAL. Rounds are ranked on the stable
+    // triple (wall_sec, out_rows, state_rows_max): out_rows/state_rows_max
+    // are bit-stable post-orderMtimes, wall is the declared headline.
     val json =
-      s"""{"metric":"streaming_micro_bench","unit":"mixed","sf":"$sfDir","chunks":$chunks,"max_files_per_trigger":1,"failed":$failed,"queries":$qs}"""
+      s"""{"metric":"streaming_micro_bench","unit":"mixed","sf":"$sfDir","chunks":$chunks,"max_files_per_trigger":1,"failed":$failed,"headline":"wall_sec","stable_fields":["wall_sec","out_rows","state_rows_max"],"informational_fields":["rows_per_sec","batch_ms_p50","batch_ms_mean","batch_ms_max"],"queries":$qs}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("streaming_bench_out.json"), json)
     println("GRAFT_STREAMBENCH_JSON")

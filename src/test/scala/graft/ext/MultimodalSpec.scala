@@ -100,7 +100,16 @@ class MultimodalSpec extends SparkSuite {
     // while the BMP encoder indexes UTF-8 BYTES — the two agree only on
     // pure-ASCII text (ADVICE r11). Pin that assumption on the actual
     // fixture slices: one multi-byte character would split the oracle.
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    // Fixture roots are DERIVED from the suite's own fixture dir (ADVICE
+    // r12: hardcoding three absolute paths coupled `sbt test` to all of
+    // them existing) — siblings of the standard sf0.001 harness fixture,
+    // each checked only if present; the harness fixture itself must exist.
+    val root = new java.io.File(sf).getParentFile
+    val dirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(n => new java.io.File(root, n))
+      .filter(_.isDirectory).map(_.getPath)
+    assert(dirs.contains(sf), s"harness fixture $sf missing — cannot pin the ASCII assumption")
+    for (d <- dirs) {
       val bad = graft.Tables(spark, d, "documents")
         .filter(col("doc_id") < 100)
         .filter(expr("octet_length(text) <> char_length(text)")).count()

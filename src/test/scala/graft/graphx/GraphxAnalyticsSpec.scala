@@ -153,6 +153,80 @@ class GraphxAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("fixed-point lazy regime (≤50k nodes): no per-round barrier jobs (r12 verdict item 3)") {
+    // A FIXED-iteration loop has no convergence test, so below
+    // LazyChainMaxNodes iterateFixed runs the whole chain as ONE
+    // materializing job — the r12 per-round count() barriers cost ~11
+    // job round-trips per call on the ego fixtures (g12 median 0.70 →
+    // 0.97 s). Count jobs via an explicit job group: the 10-iteration
+    // PPR must schedule far fewer jobs than iterations.
+    val sc = spark.sparkContext
+    val group = "lazy-chain-jobcount"
+    sc.setJobGroup(group, "spec", interruptOnCancel = false)
+    try GraphxAnalytics.personalizedRankFixed(spark, GraphSuite.dataDir, "698")
+    finally sc.clearJobGroup()
+    // The status store is fed asynchronously — poll until stable.
+    def jobs(): Int = sc.statusTracker.getJobIdsForGroup(group).length
+    var (prev, cur, spins) = (-1, jobs(), 0)
+    while (cur != prev && spins < 50) { Thread.sleep(100); prev = cur; cur = jobs(); spins += 1 }
+    assert(cur > 0, "job-group tracking returned nothing — the test harness is broken")
+    // Measured shape: 9 jobs (edge count, source min, round-0 bounds
+    // count, ONE chain-materializing job, result count + orderBy range
+    // sampling and cache bookkeeping). The r12 per-round-barrier form
+    // adds one msgs.count() job per iteration on top — ≥ 19 for 10
+    // iterations — so 12 cleanly separates the regimes.
+    assert(cur <= 12, s"lazy fixed-point path scheduled $cur jobs for 10 iterations — " +
+      "per-round barriers are back")
+  }
+
+  test("fixed-point barrier regime (>50k nodes): ≤2 graphs cached mid-loop, exact ring fixpoint") {
+    // A 60k-node directed ring crosses LazyChainMaxNodes, so this runs
+    // the Pregel-barrier discipline. Two independent assertions:
+    // (1) arithmetic — on a ring (outdeg 1) rank·1e12 is EXACTLY stable:
+    //     0.15e12 + (85·1e12)/100 = 1e12 with no truncation loss, so
+    //     every vertex must finish at exactly RankScale;
+    // (2) footprint — at every job start, at most ~2 graphs (+ messages)
+    //     beyond the pre-call baseline are cached: the materialize-then-
+    //     release discipline must not pin one graph per round.
+    val sc = spark.sparkContext
+    val n = 60001L
+    assert(n > GraphxAnalytics.LazyChainMaxNodes)
+    val edges = sc.parallelize(0L until n, 4).map(i => (i, (i + 1) % n))
+    val baseline = sc.getPersistentRDDs.keySet
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val extra = sc.getPersistentRDDs.keySet.diff(baseline).size
+        peak.getAndAccumulate(extra, (a: Int, b: Int) => math.max(a, b))
+      }
+    }
+    sc.addSparkListener(listener)
+    val out =
+      try GraphxAnalytics.pagerankFixedEdges(spark, edges, iters = 4,
+        scale = GraphxAnalytics.RankScale).collect()
+      finally sc.removeSparkListener(listener)
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == GraphxAnalytics.RankScale),
+      s"ring fixpoint drifted: ${out.filter(_.getLong(1) != GraphxAnalytics.RankScale).take(3).mkString(",")}")
+    // Measured peak: 9 — 2 live rounds × (vertices+edges) + 2 message
+    // RDDs + GraphImpl's internally-cached construction blocks + the
+    // result DF. Pinning one graph per round would reach 16+ at 4
+    // iterations, so 10 cleanly separates discipline from regression.
+    assert(peak.get() <= 10, s"barrier loop pinned ${peak.get()} RDDs above baseline mid-run")
+  }
+
+  test("fixed-point lazy regime arithmetic: small ring lands exactly on RankScale") {
+    // Same closed form as the barrier-regime ring, exercised through the
+    // lazy chain (100 nodes ≤ LazyChainMaxNodes) — the two regimes must
+    // be result-identical, and on a ring the result is known exactly.
+    val sc = spark.sparkContext
+    val edges = sc.parallelize(0L until 100L, 2).map(i => (i, (i + 1) % 100L))
+    val out = GraphxAnalytics.pagerankFixedEdges(spark, edges, iters = 10,
+      scale = GraphxAnalytics.RankScale).collect()
+    assert(out.length == 100)
+    assert(out.forall(_.getLong(1) == GraphxAnalytics.RankScale))
+  }
+
   test("scale guard: no driver-side collect in graph construction paths") {
     // The production graph paths (RDD-built GraphX graphs, distributed
     // σ-combination) must never pull edges or per-vertex state to the
