@@ -65,6 +65,12 @@ object GraphxAnalytics {
     tuples.coalesce(parts)
   }
 
+  /** The ten-ego G⁺ union as composite-id edge tuples (ONE tuple per
+    * undirected pair, ego spokes included) — the public seed for
+    * tools.GraphScale's derived large graph. */
+  def unionEdgeTuples(s: SparkSession, dataDir: String): RDD[(VertexId, VertexId)] =
+    compositeEdges(s, dataDir, egoOrder, withEgoCenter = true)
+
   private def friendGraph(s: SparkSession, dataDir: String,
       egos: Seq[String], withEgoCenter: Boolean): Graph[Unit, Int] = {
     // Undirected semantics: materialize both directions (PageRank follows

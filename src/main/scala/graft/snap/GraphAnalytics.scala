@@ -32,13 +32,16 @@ object GraphAnalytics {
     * per-round state is the edge list itself — nothing driver-side. At
     * 100 TB this is the same shape CC takes: a handful of shuffle-bounded
     * passes over a shrinking edge list. */
-  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, rounds: Int, parts: Int = 4): DataFrame = {
     // Volume-sized partitions before iterating (the GraphxAnalytics
     // lesson): the ten-ego adjacency is ~60k rows, and every peel round
-    // pays per-partition scheduling on three shuffles.
+    // pays per-partition scheduling on three shuffles. `parts` is the
+    // volume knob — the g11 entry keeps the 4 that fits the ten-ego
+    // fixture; tools.GraphScale passes the core count for its ~46M-row
+    // derived adjacency (r13).
     var adj = adjacency(edges)
       .select(col("ego"), col("v").cast("long").as("v"), col("u").cast("long").as("u"))
-      .coalesce(4).localCheckpoint()
+      .coalesce(parts).localCheckpoint()
     var prev = -1L
     var cur = adj.count()
     var r = 0

@@ -36,12 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object RecallGate {
 
-  private def vecBase(s: SparkSession, d: String): DataFrame =
+  private[tools] def vecBase(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
 
   /** (top10 ids, tie-robust 10th score) for `metricCol` over the corpus. */
-  private def exactTop(base: DataFrame, metricCol: org.apache.spark.sql.Column,
+  private[tools] def exactTop(base: DataFrame, metricCol: org.apache.spark.sql.Column,
       probeId: Long, k: Int): (Set[Long], Double) = {
     val top = base.filter(col("vec_id") =!= probeId)
       .select(col("vec_id"), metricCol.as("score"))
@@ -52,7 +52,7 @@ object RecallGate {
 
   /** Tie-robust recall@k: fraction of returned ids whose exact score ties
     * or beats the exact k-th score (1e-9 slack for engine-side rounding). */
-  private def recallOf(base: DataFrame, metricCol: org.apache.spark.sql.Column,
+  private[tools] def recallOf(base: DataFrame, metricCol: org.apache.spark.sql.Column,
       probeId: Long, k: Int, returned: Seq[Long]): Double = {
     val (_, kth) = exactTop(base, metricCol, probeId, k)
     if (returned.isEmpty) 0.0

@@ -134,10 +134,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q100: null-safe equality still hash-joins (NULL is just one key)") {
+  test("q100: null-safe equality still hash-joins (NULL is just one key) and broadcasts the dim") {
     val p = plan("q100_null_safe_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"<=> must plan as an equi-join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 25-row nation dim must broadcast, not shuffle the fact side:\n$p")
   }
 
   test("q118: star join broadcasts both dims and never nested-loops") {

@@ -20,6 +20,17 @@ import duckdb
 
 # table -> {column: per-copy offset}; offsets are a power of 10 above the
 # source key range so copies never collide and ids stay readable.
+#
+# PERTURB (r13): non-key columns whose JOINT value domain must grow with
+# the copy factor. q05 self-joins customer on (c_nationkey, c_mktsegment);
+# with the 125-value joint domain fixed, its join output grows with
+# factor² and the sf10 gate had to skip it. Suffixing the copy index into
+# c_mktsegment (copy 0 unchanged, so a factor-1 derivation is the
+# identity) keeps per-group sizes at the base level — join work scales
+# LINEARLY with the factor, like the real data it stands in for (a bigger
+# corpus has more segments, not thicker ones). No query filters on
+# segment literals (grep-checked r13), and both engines see the same
+# perturbed bytes, so the oracle contract is unchanged.
 SHIFTS = {
     "region": {},
     "nation": {},
@@ -34,6 +45,12 @@ SHIFTS = {
     "embeddings": {"vec_id": 100_000},
 }
 
+# table -> {column: SQL template with {i} = copy index}; applied to copies
+# i > 0 only (see the SHIFTS/PERTURB comment above).
+PERTURB = {
+    "customer": {"c_mktsegment": "c_mktsegment || '#{i}'"},
+}
+
 
 def main() -> None:
     src, out = sys.argv[1], sys.argv[2]
@@ -44,12 +61,17 @@ def main() -> None:
     for table, shifts in SHIFTS.items():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()]
+        perturb = PERTURB.get(table, {})
         copies = 1 if not shifts else factor
         selects = []
         for i in range(copies):
-            proj = ", ".join(
-                f"({c} + {shifts[c] * i}) AS {c}" if c in shifts else c
-                for c in cols)
+            def proj_col(c, i=i):
+                if c in shifts:
+                    return f"({c} + {shifts[c] * i}) AS {c}"
+                if c in perturb and i > 0:
+                    return f"({perturb[c].format(i=i)}) AS {c}"
+                return c
+            proj = ", ".join(proj_col(c) for c in cols)
             selects.append(
                 f"SELECT {proj} FROM '{src}/{table}.parquet'")
         q = " UNION ALL ".join(selects)
