@@ -107,6 +107,9 @@ object GraphScale {
     val facts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     facts("nodes") = nNodes
     facts("edges_directed") = nEdges
+    def phase(name: String): Unit =
+      System.err.println(s"[graph-scale] ${java.time.Instant.now()} phase: $name")
+    phase("g08_cc")
 
     // ---- g08 at scale: connected components ------------------------------
     val ((nComp, largest), tCc) = timed {
@@ -126,6 +129,7 @@ object GraphScale {
       s"derived graph must be one component of $nNodes (got $nComp components, largest $largest)")
 
     // ---- g09 at scale: fixed-point PageRank (verifiable) -----------------
+    phase("g09_pagerank_fixed")
     val (pr, tPr) = timed {
       GraphxAnalytics.pagerankFixedEdges(spark, directed, iters, ScaleAt1M)
     }
@@ -138,6 +142,7 @@ object GraphScale {
     pr.write.mode("overwrite").parquet(s"$outDir/pagerank.parquet")
 
     // ---- g12 at scale: fixed-point PPR from the root hub -----------------
+    phase("g12_ppr_fixed")
     val (ppr, tPpr) = timed {
       GraphxAnalytics.personalizedRankFixedEdges(spark, directed, hub(0), iters, ScaleAt1M)
     }
@@ -152,6 +157,7 @@ object GraphScale {
     ppr.write.mode("overwrite").parquet(s"$outDir/ppr.parquet")
 
     // ---- g11 at scale: k-core peel ---------------------------------------
+    phase("g11_kcore")
     val (kcoreNodes, tKcore) = timed {
       val edgesDf = pairs.toDF("src", "dst").withColumn("ego", lit("g"))
       graft.snap.GraphAnalytics.kcore(edgesDf, k = 10, rounds = 8,
@@ -161,17 +167,21 @@ object GraphScale {
     facts("kcore_nodes") = kcoreNodes
 
     // ---- Brandes batched stress: one source batch ------------------------
-    // Deterministic pseudo-random ~64 sources (hash-mod sized to the
+    // Deterministic pseudo-random ~32 sources (hash-mod sized to the
     // derived node count) in ONE batch: a full forward multi-source BFS +
     // the backward ψ sweep over the whole 1M-node graph with O(batch)
     // per-vertex state. A full all-sources run is nodes/batch such
     // sweeps — inherently O(V·E) on ANY engine — so the per-batch wall
-    // is the honest unit of scale evidence.
-    val srcMod = math.max(1L, nNodes / 64L)
+    // is the honest unit of scale evidence. Batch sizing IS the memory
+    // knob the Scaladoc prescribes: ~32 sources keeps the per-vertex
+    // PathMap ≈ 2 KB and the per-round message churn inside a 96 g heap
+    // at 44M directed edges (64-source batches OOMed a 64 g heap).
+    phase("stress_batched")
+    val srcMod = math.max(1L, nNodes / 32L)
     val countable = (vid: VertexId) => (vid * 2654435761L % srcMod) == 0L
     val (stressRows, tStress) = timed {
       val df = StressCentrality.batchedStress(spark, directed
-        .filter(t => t._1 < t._2), countable, batchSize = 128)
+        .filter(t => t._1 < t._2), countable, batchSize = 64)
       val n = df.count()
       df.unpersist()
       n
@@ -180,6 +190,7 @@ object GraphScale {
     facts("stress_sources") = stressRows
 
     // ---- artifact --------------------------------------------------------
+    phase("dump")
     val heapMax = Runtime.getRuntime.maxMemory() / (1L << 20)
     def fmt(d: Double) = "%.2f".format(d)
     val json =
