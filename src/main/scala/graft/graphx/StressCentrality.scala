@@ -136,14 +136,56 @@ object StressCentrality {
     out
   }
 
+  /** Packed frontier message: bit i of `mask` set ⇔ batch source i has an
+    * entry; `sig(j)` is the value for the j-th set bit in ascending bit
+    * order. Primitive throughout — the per-edge/per-merge cost is bitwise
+    * ops and Long adds, and Kryo ships it as one varint + one primitive
+    * array (the boxed `Map[VertexId, (Int, Long)]` encoding this replaced
+    * made 1M-node forward rounds allocation-bound: measured 16→30→55 min
+    * per round on a 1M-node/44M-edge derived graph before the switch). */
+  private type Packed = (Long, Array[Long])
+
+  /** Merge two packed messages by summing values on the mask union.
+    * Both inputs keep values in ascending-set-bit order, so a single
+    * synchronized sweep over the union mask aligns them. */
+  private def mergePacked(a: Packed, b: Packed): Packed = {
+    val m = a._1 | b._1
+    val out = new Array[Long](java.lang.Long.bitCount(m))
+    var ia = 0; var ib = 0; var io = 0
+    var mm = m
+    while (mm != 0L) {
+      val i = java.lang.Long.numberOfTrailingZeros(mm)
+      var v = 0L
+      if (((a._1 >>> i) & 1L) == 1L) { v += a._2(ia); ia += 1 }
+      if (((b._1 >>> i) & 1L) == 1L) { v += b._2(ib); ib += 1 }
+      out(io) = v; io += 1
+      mm &= mm - 1L
+    }
+    (m, out)
+  }
+
+  /** Pack `values(i)` for every set bit of `mask` (ascending bit order). */
+  private def packBits(mask: Long, values: Array[Long]): Packed = {
+    val out = new Array[Long](java.lang.Long.bitCount(mask))
+    var mm = mask; var io = 0
+    while (mm != 0L) {
+      out(io) = values(java.lang.Long.numberOfTrailingZeros(mm))
+      io += 1; mm &= mm - 1L
+    }
+    (mask, out)
+  }
+
   /** Brandes-style source-batched stress centrality — the general-graph
     * SCALE path. [[allPairs]] carries O(V) state per vertex and [[stress]]
     * flattens an O(V²) (vertex, source) entry table through a self-join;
     * both are validation-scale shapes. Here each round seeds only a batch
-    * of ~`batchSize` countable sources (membership = `source_id mod
-    * nBatches`, computed on the executors — no driver-side source list),
-    * runs the same synchronized forward BFS with O(batch) per-vertex
-    * state, then accumulates
+    * of ≤ `batchSize` countable sources (the sorted source-id list —
+    * O(sources), the caller's sampling knob, NOT O(V) — is collected once
+    * and sliced by rank; each ≤ 64-id slice rides into the closures), runs
+    * a synchronized forward BFS with O(batch) per-vertex PRIMITIVE state —
+    * batch sources are indexed 0..k-1, so a vertex holds `dist:
+    * Array[Int]` / `sigma: Array[Long]` and the frontier is a Long bitmask
+    * (hence `batchSize ≤ 64`); messages are [[Packed]] — then accumulates
     *   ψ_s(v) = Σ_{w ∈ succ_s(v)} ([w countable] + ψ_s(w))
     * BACKWARD down each source's BFS DAG (messages only along
     * depth-descending triplet sides, one synchronized round per depth
@@ -151,48 +193,90 @@ object StressCentrality {
     * weighted by the DAG path count v→t. Then
     *   stress(v) += Σ_{s ∈ batch, s ≠ v} σ_s(v)·ψ_s(v)
     * — the interior product without ever joining two full legs. Peak
-    * state is O(batchSize) per vertex; total work O(V·E) spread over
-    * V/batchSize rounds. Agreement with the [[stress]] join form is
-    * property-tested on random diameter-≥3 graphs (StressCentralitySpec).
+    * state is O(batchSize) primitives per vertex; total work O(V·E)
+    * spread over V/batchSize rounds. Agreement with the [[stress]] join
+    * form is property-tested on random diameter-≥3 graphs
+    * (StressCentralitySpec).
     */
   def batchedStress(spark: SparkSession, edges: RDD[(VertexId, VertexId)],
       countable: VertexId => Boolean, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
+    require(batchSize >= 1 && batchSize <= 64,
+      s"batch frontier state is a Long bitmask: batchSize must be 1..64, got $batchSize")
     val base = Graph.fromEdgeTuples(edges, ())
       .partitionBy(PartitionStrategy.EdgePartition2D).cache()
     val ids = base.vertices.keys.filter(countable).cache()
-    val nSources = ids.count()
-    val nBatches = math.max(1, math.ceil(nSources.toDouble / batchSize).toInt)
+    // All source ids, sorted for deterministic rank-sliced batches. This
+    // is the caller-bounded sampling set (|sources| ≪ V), not the graph.
+    val sources: Array[VertexId] = ids.collect().sorted
+    val nBatches = math.max(1, math.ceil(sources.length.toDouble / batchSize).toInt)
 
     val parts = scala.collection.mutable.ArrayBuffer.empty[RDD[(VertexId, Long)]]
     for (b <- 0 until nBatches) {
+      // An empty slice (no countable sources at all) still runs one cheap
+      // no-seed round and contributes an empty part — same shape as the
+      // non-empty path, so `parts` is never empty below.
+      val srcArr: Array[VertexId] =
+        sources.slice(b * batchSize, math.min((b + 1) * batchSize, sources.length))
+      val k = srcArr.length
+
       // ---- forward: multi-source BFS seeded with THIS batch only.
-      var g: Graph[(PathMap, PathMap), Int] = base.mapVertices { (id, _) =>
-        val seed: PathMap =
-          if (countable(id) && (((id % nBatches) + nBatches) % nBatches).toInt == b)
-            Map(id -> (0, 1L))
-          else Map.empty
-        (seed, seed)
-      }.cache()
+      // Vertex state: (dist per source (-1 unreached), σ per source,
+      // fresh-this-round bitmask). Arrays are never mutated once
+      // published — updates clone (k ≤ 64 primitives).
+      var g: Graph[(Array[Int], Array[Long], Long), Int] =
+        base.mapVertices { (id, _) =>
+          val dist = Array.fill(k)(-1)
+          val sigma = new Array[Long](k)
+          val i = java.util.Arrays.binarySearch(srcArr, id)
+          if (i >= 0) { dist(i) = 0; sigma(i) = 1L; (dist, sigma, 1L << i) }
+          else (dist, sigma, 0L)
+        }.cache()
       var depth = 0
       var active = 1L
       while (active > 0) {
-        val msgs = g.aggregateMessages[PathMap](
+        // All fresh entries at every vertex share dist == depth, so the
+        // message is just (mask, σ values) — distance is implied.
+        val msgs = g.aggregateMessages[Packed](
           ctx => {
-            def bump(m: PathMap): PathMap = m.map { case (k, (dd, s)) => k -> (dd + 1, s) }
-            if (ctx.srcAttr._2.nonEmpty) ctx.sendToDst(bump(ctx.srcAttr._2))
-            if (ctx.dstAttr._2.nonEmpty) ctx.sendToSrc(bump(ctx.dstAttr._2))
+            if (ctx.srcAttr._3 != 0L)
+              ctx.sendToDst(packBits(ctx.srcAttr._3, ctx.srcAttr._2))
+            if (ctx.dstAttr._3 != 0L)
+              ctx.sendToSrc(packBits(ctx.dstAttr._3, ctx.dstAttr._2))
           },
-          mergeMaps)
+          mergePacked)
+        // Local val: captured by value per round (a shared `depth` var
+        // boxed into the closure would go stale if a cached partition
+        // were recomputed after later rounds advanced it).
+        val dNext = depth + 1
         val next = g.outerJoinVertices(msgs) { (_, st, msgOpt) =>
           msgOpt match {
-            case Some(m) =>
-              val fresh = m.filter { case (k, _) => !st._1.contains(k) }
-              (st._1 ++ fresh, fresh)
-            case None => (st._1, Map.empty: PathMap)
+            case Some((mask, sig)) =>
+              // σ contributions for a (vertex, source) pair all arrive in
+              // the single round where that distance is first reached —
+              // bits already settled (dist >= 0) are longer paths: drop.
+              var freshMask = 0L
+              var mm = mask
+              while (mm != 0L) {
+                val i = java.lang.Long.numberOfTrailingZeros(mm)
+                if (st._1(i) < 0) freshMask |= 1L << i
+                mm &= mm - 1L
+              }
+              if (freshMask == 0L) (st._1, st._2, 0L)
+              else {
+                val dist = st._1.clone(); val sigma = st._2.clone()
+                var io = 0; mm = mask
+                while (mm != 0L) {
+                  val i = java.lang.Long.numberOfTrailingZeros(mm)
+                  if (dist(i) < 0) { dist(i) = dNext; sigma(i) = sig(io) }
+                  io += 1; mm &= mm - 1L
+                }
+                (dist, sigma, freshMask)
+              }
+            case None => (st._1, st._2, 0L)
           }
         }.cache()
-        active = next.vertices.filter(_._2._2.nonEmpty).count()
+        active = next.vertices.filter(_._2._3 != 0L).count()
         if (active > 0) depth += 1
         g.unpersist(blocking = false)
         g = next
@@ -202,36 +286,54 @@ object StressCentrality {
       // ψ_s(v) is finalized in the round where level = dist_s(v) + 1
       // (all DAG successors already final — levels strictly decrease),
       // and v first SENDS for s at level = dist_s(v) < that. Each vertex
-      // receives for a given source exactly once: plain map-insert.
+      // receives for a given source exactly once, summed into ψ.
       // The level loop is LAZY — no action per level, so the whole
       // backward sweep runs as ONE job (depth is already known; nothing
       // to test per round, unlike the forward frontier).
-      var bg: Graph[(PathMap, Map[VertexId, Long]), Int] =
-        g.mapVertices((_, st) => (st._1, Map.empty[VertexId, Long])).cache()
+      var bg: Graph[(Array[Int], Array[Long], Array[Long]), Int] =
+        g.mapVertices((_, st) => (st._1, st._2, new Array[Long](k))).cache()
       val intermediates = scala.collection.mutable.ArrayBuffer.empty[Graph[_, _]]
       intermediates += g
       for (level <- depth to 1 by -1) {
-        val msgs = bg.aggregateMessages[Map[VertexId, Long]](
+        val msgs = bg.aggregateMessages[Packed](
           ctx => {
-            def contrib(from: (PathMap, Map[VertexId, Long]), fromId: VertexId,
-                to: (PathMap, Map[VertexId, Long])): Map[VertexId, Long] = {
+            def contrib(from: (Array[Int], Array[Long], Array[Long]),
+                fromId: VertexId,
+                to: (Array[Int], Array[Long], Array[Long])): Packed = {
               val cnt = if (countable(fromId)) 1L else 0L
-              from._1.iterator.flatMap { case (s, (dd, _)) =>
-                if (dd == level && to._1.get(s).exists(_._1 == level - 1))
-                  Some(s -> (cnt + from._2.getOrElse(s, 0L)))
-                else None
-              }.toMap
+              var mask = 0L
+              var i = 0
+              while (i < k) {
+                if (from._1(i) == level && to._1(i) == level - 1) mask |= 1L << i
+                i += 1
+              }
+              if (mask == 0L) null
+              else {
+                val out = new Array[Long](java.lang.Long.bitCount(mask))
+                var mm = mask; var io = 0
+                while (mm != 0L) {
+                  out(io) = cnt + from._3(java.lang.Long.numberOfTrailingZeros(mm))
+                  io += 1; mm &= mm - 1L
+                }
+                (mask, out)
+              }
             }
             val toSrc = contrib(ctx.dstAttr, ctx.dstId, ctx.srcAttr)
-            if (toSrc.nonEmpty) ctx.sendToSrc(toSrc)
+            if (toSrc != null) ctx.sendToSrc(toSrc)
             val toDst = contrib(ctx.srcAttr, ctx.srcId, ctx.dstAttr)
-            if (toDst.nonEmpty) ctx.sendToDst(toDst)
+            if (toDst != null) ctx.sendToDst(toDst)
           },
-          (a, b) => (a.keySet ++ b.keySet).iterator
-            .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+          mergePacked)
         val next = bg.outerJoinVertices(msgs) { (_, st, msgOpt) =>
           msgOpt match {
-            case Some(m) => (st._1, st._2 ++ m)
+            case Some((mask, vals)) =>
+              val psi = st._3.clone()
+              var mm = mask; var io = 0
+              while (mm != 0L) {
+                psi(java.lang.Long.numberOfTrailingZeros(mm)) += vals(io)
+                io += 1; mm &= mm - 1L
+              }
+              (st._1, st._2, psi)
             case None => st
           }
         }.cache()
@@ -239,13 +341,16 @@ object StressCentrality {
         bg = next
       }
 
-      // ---- batch contribution: σ_s(v)·ψ_s(v), v countable, v ≠ s.
-      val part = bg.vertices.flatMap { case (v, (dists, psi)) =>
+      // ---- batch contribution: σ_s(v)·ψ_s(v), v countable, v ≠ s
+      // (dist >= 1 excludes the source's own row, dist == 0).
+      val part = bg.vertices.flatMap { case (v, (dist, sigma, psi)) =>
         if (!countable(v)) None
         else {
           var tot = 0L
-          dists.foreach { case (s, (dd, sig)) =>
-            if (dd >= 1) tot += sig * psi.getOrElse(s, 0L)
+          var i = 0
+          while (i < k) {
+            if (dist(i) >= 1) tot += sigma(i) * psi(i)
+            i += 1
           }
           if (tot != 0L) Some((v, tot)) else None
         }

@@ -172,10 +172,12 @@ object GraphScale {
     // the backward ψ sweep over the whole 1M-node graph with O(batch)
     // per-vertex state. A full all-sources run is nodes/batch such
     // sweeps — inherently O(V·E) on ANY engine — so the per-batch wall
-    // is the honest unit of scale evidence. Batch sizing IS the memory
-    // knob the Scaladoc prescribes: ~32 sources keeps the per-vertex
-    // PathMap ≈ 2 KB and the per-round message churn inside a 96 g heap
-    // at 44M directed edges (64-source batches OOMed a 64 g heap).
+    // is the honest unit of scale evidence. Batch sizing IS the
+    // memory/throughput knob the Scaladoc prescribes: with the packed
+    // primitive state (bitmask + Array[Long], r13) a 32-source batch is
+    // ~400 B/vertex; the earlier boxed-Map encoding OOMed a 64 g heap at
+    // 64 sources and its forward rounds grew 16→55 min at 32 — the
+    // measurement that forced the packed rewrite.
     phase("stress_batched")
     val srcMod = math.max(1L, nNodes / 32L)
     val countable = (vid: VertexId) => (vid * 2654435761L % srcMod) == 0L
