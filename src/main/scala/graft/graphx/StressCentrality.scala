@@ -209,6 +209,10 @@ object StressCentrality {
     // All source ids, sorted for deterministic rank-sliced batches. This
     // is the caller-bounded sampling set (|sources| ≪ V), not the graph.
     val sources: Array[VertexId] = ids.collect().sorted
+    // Regime switch for the backward sweep (same threshold as
+    // GraphxAnalytics.iterateFixed): lazy one-job chains below, eager
+    // Pregel-ordered materialize-then-release above.
+    val nVerts = base.numVertices
     val nBatches = math.max(1, math.ceil(sources.length.toDouble / batchSize).toInt)
 
     val parts = scala.collection.mutable.ArrayBuffer.empty[RDD[(VertexId, Long)]]
@@ -224,6 +228,27 @@ object StressCentrality {
       // Vertex state: (dist per source (-1 unreached), σ per source,
       // fresh-this-round bitmask). Arrays are never mutated once
       // published — updates clone (k ≤ 64 primitives).
+      //
+      // PREGEL ORDER (the r13 1M-node lesson): the next round's messages
+      // are materialized BEFORE the predecessor graph is released.
+      // Materializing only the new graph's vertices and then unpersisting
+      // the old graph releases the old REPLICATED EDGE VIEW that the new
+      // graph's triplet computation diff-ships onto — every later round
+      // then rebuilds the view from the base graph through ALL prior
+      // ships: O(depth²·E). Measured on a 1M-node/44M-edge derived graph
+      // as round walls growing 2→5→7→10→19+ min; Spark's own Pregel
+      // orders unpersist after the new message count for this reason.
+      def fwdMsgs(gr: Graph[(Array[Int], Array[Long], Long), Int]): VertexRDD[Packed] =
+        gr.aggregateMessages[Packed](
+          ctx => {
+            // All fresh entries at every vertex share the same distance
+            // (the current round), so the message is just (mask, σ).
+            if (ctx.srcAttr._3 != 0L)
+              ctx.sendToDst(packBits(ctx.srcAttr._3, ctx.srcAttr._2))
+            if (ctx.dstAttr._3 != 0L)
+              ctx.sendToSrc(packBits(ctx.dstAttr._3, ctx.dstAttr._2))
+          },
+          mergePacked)
       var g: Graph[(Array[Int], Array[Long], Long), Int] =
         base.mapVertices { (id, _) =>
           val dist = Array.fill(k)(-1)
@@ -232,23 +257,15 @@ object StressCentrality {
           if (i >= 0) { dist(i) = 0; sigma(i) = 1L; (dist, sigma, 1L << i) }
           else (dist, sigma, 0L)
         }.cache()
-      var depth = 0
-      var active = 1L
+      var msgs = fwdMsgs(g).cache()
+      var active = msgs.count()
+      var round = 0
       while (active > 0) {
-        // All fresh entries at every vertex share dist == depth, so the
-        // message is just (mask, σ values) — distance is implied.
-        val msgs = g.aggregateMessages[Packed](
-          ctx => {
-            if (ctx.srcAttr._3 != 0L)
-              ctx.sendToDst(packBits(ctx.srcAttr._3, ctx.srcAttr._2))
-            if (ctx.dstAttr._3 != 0L)
-              ctx.sendToSrc(packBits(ctx.dstAttr._3, ctx.dstAttr._2))
-          },
-          mergePacked)
-        // Local val: captured by value per round (a shared `depth` var
+        round += 1
+        // Local val: captured by value per round (a shared `round` var
         // boxed into the closure would go stale if a cached partition
         // were recomputed after later rounds advanced it).
-        val dNext = depth + 1
+        val dNext = round
         val next = g.outerJoinVertices(msgs) { (_, st, msgOpt) =>
           msgOpt match {
             case Some((mask, sig)) =>
@@ -276,26 +293,35 @@ object StressCentrality {
             case None => (st._1, st._2, 0L)
           }
         }.cache()
-        active = next.vertices.filter(_._2._3 != 0L).count()
-        if (active > 0) depth += 1
+        // Computing next's messages materializes next's vertices AND its
+        // replicated view (a delta ship, g still cached) — only then is
+        // the predecessor releasable. The terminal round costs one
+        // no-sender edge scan; `active` counts receiving vertices, which
+        // overshoots fresh discoveries by at most the final stale round.
+        val nextMsgs = fwdMsgs(next).cache()
+        active = nextMsgs.count()
+        msgs.unpersist(blocking = false)
         g.unpersist(blocking = false)
         g = next
+        msgs = nextMsgs
       }
+      msgs.unpersist(blocking = false)
+      // `round` overshoots the true BFS depth by the trailing stale
+      // round(s); the backward sweep needs the exact deepest level.
+      val depth = g.vertices.map { case (_, (dist, _, _)) =>
+        var m = 0; var i = 0
+        while (i < k) { if (dist(i) > m) m = dist(i); i += 1 }
+        m
+      }.fold(0)(math.max)
 
       // ---- backward: ψ flows depth-descending, one round per level.
       // ψ_s(v) is finalized in the round where level = dist_s(v) + 1
       // (all DAG successors already final — levels strictly decrease),
       // and v first SENDS for s at level = dist_s(v) < that. Each vertex
       // receives for a given source exactly once, summed into ψ.
-      // The level loop is LAZY — no action per level, so the whole
-      // backward sweep runs as ONE job (depth is already known; nothing
-      // to test per round, unlike the forward frontier).
-      var bg: Graph[(Array[Int], Array[Long], Array[Long]), Int] =
-        g.mapVertices((_, st) => (st._1, st._2, new Array[Long](k))).cache()
-      val intermediates = scala.collection.mutable.ArrayBuffer.empty[Graph[_, _]]
-      intermediates += g
-      for (level <- depth to 1 by -1) {
-        val msgs = bg.aggregateMessages[Packed](
+      def bwdMsgs(gr: Graph[(Array[Int], Array[Long], Array[Long]), Int],
+          level: Int): VertexRDD[Packed] =
+        gr.aggregateMessages[Packed](
           ctx => {
             def contrib(from: (Array[Int], Array[Long], Array[Long]),
                 fromId: VertexId,
@@ -324,7 +350,9 @@ object StressCentrality {
             if (toDst != null) ctx.sendToDst(toDst)
           },
           mergePacked)
-        val next = bg.outerJoinVertices(msgs) { (_, st, msgOpt) =>
+      def applyPsi(gr: Graph[(Array[Int], Array[Long], Array[Long]), Int],
+          msgs: VertexRDD[Packed]): Graph[(Array[Int], Array[Long], Array[Long]), Int] =
+        gr.outerJoinVertices(msgs) { (_, st, msgOpt) =>
           msgOpt match {
             case Some((mask, vals)) =>
               val psi = st._3.clone()
@@ -336,9 +364,39 @@ object StressCentrality {
               (st._1, st._2, psi)
             case None => st
           }
-        }.cache()
-        intermediates += bg
-        bg = next
+        }
+
+      var bg: Graph[(Array[Int], Array[Long], Array[Long]), Int] =
+        g.mapVertices((_, st) => (st._1, st._2, new Array[Long](k))).cache()
+      val intermediates = scala.collection.mutable.ArrayBuffer.empty[Graph[_, _]]
+      intermediates += g
+      if (nVerts <= GraphxAnalytics.LazyChainMaxNodes) {
+        // Toy regime: the level loop is LAZY — no action per level, the
+        // whole sweep runs as ONE job (per-level barrier jobs are pure
+        // scheduler overhead at this size); intermediates are released
+        // after the batch materializes.
+        for (level <- depth to 1 by -1) {
+          val next = applyPsi(bg, bwdMsgs(bg, level)).cache()
+          intermediates += bg
+          bg = next
+        }
+      } else {
+        // Scale regime: Pregel order per level — materialize the next
+        // level's messages (which builds the new graph's replicated view
+        // as a delta ship while the predecessor is still cached), THEN
+        // release the predecessor. Same O(depth²·E) recompute trap as the
+        // forward loop otherwise.
+        var msgsB = if (depth >= 1) bwdMsgs(bg, depth).cache() else null
+        for (level <- depth to 1 by -1) {
+          val next = applyPsi(bg, msgsB).cache()
+          val nextMsgs = if (level > 1) bwdMsgs(next, level - 1).cache() else null
+          if (nextMsgs != null) nextMsgs.count()
+          else next.vertices.count() // vertex-only access follows
+          msgsB.unpersist(blocking = false)
+          bg.unpersist(blocking = false)
+          bg = next
+          msgsB = nextMsgs
+        }
       }
 
       // ---- batch contribution: σ_s(v)·ψ_s(v), v countable, v ≠ s

@@ -103,6 +103,32 @@ class StressCentralitySpec extends SparkSuite {
     }
   }
 
+  test("batched eager regime (>50k nodes): double-hub star matches closed form") {
+    // Two hubs joined by an edge, 30 001 spokes each: 60 004 vertices
+    // forces the Pregel-ordered materialize-then-release backward sweep
+    // (nVerts > LazyChainMaxNodes). Countable = 20 spokes per side + both
+    // hubs (one 42-source batch). Every shortest path is unique, so
+    // stress has a closed form: each hub is interior to its own side's
+    // ordered spoke pairs (20·19), its side's spoke↔far-hub pairs (2·20),
+    // and every cross-side ordered pair (2·20·20) = 1220; spokes are
+    // degree-1, never interior.
+    val nSpokes = 30001L
+    val h1 = 0L; val h2 = 1L
+    val aSpokes = (1L to nSpokes).map(i => 1L + 2L * i) // odd ids ≥ 3
+    val bSpokes = (1L to nSpokes).map(i => 2L * i)      // even ids ≥ 2
+    val edges = aSpokes.map(a => (h1, a)) ++ bSpokes.map(b => (h2, b)) :+ ((h1, h2))
+    val countable: Set[Long] =
+      (aSpokes.take(20) ++ bSpokes.take(20) ++ Seq(h1, h2)).toSet
+    val edgeRdd = spark.sparkContext.parallelize(edges, 4)
+    val got = StressCentrality.batchedStress(spark, edgeRdd, countable, batchSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = countable.map {
+      case v if v == h1 || v == h2 => v -> 1220L
+      case v => v -> 0L
+    }.toMap
+    assert(got == expected)
+  }
+
   test("clustering properties: cc in [0,1]; clique => cc = 1") {
     import spark.implicits._
     // 4-clique among friends of one ego: every neighbourhood closed.
