@@ -29,7 +29,26 @@ import java.util.UUID
 object StreamBench {
   private case class Item(name: String, wallSec: Double, inputRows: Long,
       outRows: Long, batches: Int, dataBatches: Int, rowsPerSec: Double,
-      p50Ms: Double, meanMs: Double, maxMs: Double, stateRowsMax: Long)
+      p50Ms: Double, meanMs: Double, maxMs: Double, stateRowsMax: Long,
+      wallMinSec: Double = -1.0)
+
+  /** Timed replays per query: the headline wall is the MEDIAN of these,
+    * after ONE untimed warmup replay (r12 verdict item 5 — a fresh-JVM
+    * replay's wall is dominated by codegen/state-store warmup and swung
+    * 0.27–0.77× between consecutive artifact runs; a 3-replay median
+    * without the warmup still carried the first replay's tail). The
+    * warmup replay's deterministic fields still participate in the
+    * bit-equality assertion. */
+  private val Replays = 3
+
+  /** Median-wall item of the TIMED replays (warmup dropped for timing,
+    * kept for the determinism assertion), min wall recorded. */
+  private def medianItem(warmupAndRuns: Seq[Item]): Item = {
+    require(warmupAndRuns.map(i => (i.outRows, i.stateRowsMax)).distinct.size == 1,
+      s"nondeterministic replay: ${warmupAndRuns.map(i => (i.name, i.outRows, i.stateRowsMax))}")
+    val sorted = warmupAndRuns.drop(1).sortBy(_.wallSec)
+    sorted(sorted.size / 2).copy(wallMinSec = sorted.head.wallSec)
+  }
 
   /** Stamp part files' modification times ascending in filename order.
     *
@@ -143,8 +162,9 @@ object StreamBench {
         orderMtimes(dir, after = chunkNames, startAt = lastMtime + 60000L)
         val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
           .option("maxFilesPerTrigger", 1).parquet(dir)
-        runTimed(spark, StatefulSessions.sessionize(stream).toDF(),
-          "append", "s_stateful_sessions")
+        medianItem((0 to Replays).map(_ =>
+          runTimed(spark, StatefulSessions.sessionize(stream).toDF(),
+            "append", "s_stateful_sessions")))
       } finally graft.TmpFiles.deleteRecursively(dir)
     }
 
@@ -157,7 +177,7 @@ object StreamBench {
           orderMtimes(dir)
           val stream = spark.readStream.schema(eventsSchema)
             .option("maxFilesPerTrigger", 1).parquet(dir)
-          runTimed(spark, f(stream), mode, name)
+          medianItem((0 to Replays).map(_ => runTimed(spark, f(stream), mode, name)))
         } finally graft.TmpFiles.deleteRecursively(dir)
       }
 
@@ -167,15 +187,17 @@ object StreamBench {
     def fmt(d: Double): String = "%.2f".format(d)
     val items = Seq(sessions, join, topk).flatten
     val qs = items.map { i =>
-      s""""${i.name}":{"wall_sec":${"%.3f".format(i.wallSec)},"input_rows":${i.inputRows},"out_rows":${i.outRows},"batches":${i.batches},"data_batches":${i.dataBatches},"rows_per_sec":${fmt(i.rowsPerSec)},"batch_ms_p50":${fmt(i.p50Ms)},"batch_ms_mean":${fmt(i.meanMs)},"batch_ms_max":${fmt(i.maxMs)},"state_rows_max":${i.stateRowsMax}}"""
+      s""""${i.name}":{"wall_sec":${"%.3f".format(i.wallSec)},"wall_min_sec":${"%.3f".format(i.wallMinSec)},"input_rows":${i.inputRows},"out_rows":${i.outRows},"batches":${i.batches},"data_batches":${i.dataBatches},"rows_per_sec":${fmt(i.rowsPerSec)},"batch_ms_p50":${fmt(i.p50Ms)},"batch_ms_mean":${fmt(i.meanMs)},"batch_ms_max":${fmt(i.maxMs)},"state_rows_max":${i.stateRowsMax}}"""
     }.mkString("{", ",", "}")
     // Headline contract (r12 verdict item 5): rows_per_sec is Σinput /
     // Σtrigger-busy time and still swings ±2–3× run-to-run on trigger
     // latency — it is INFORMATIONAL. Rounds are ranked on the stable
     // triple (wall_sec, out_rows, state_rows_max): out_rows/state_rows_max
-    // are bit-stable post-orderMtimes, wall is the declared headline.
+    // are bit-stable post-orderMtimes (asserted across replays), and
+    // wall_sec — the declared headline — is the median of `Replays` warm
+    // replays (a fresh-JVM single replay is warmup-dominated).
     val json =
-      s"""{"metric":"streaming_micro_bench","unit":"mixed","sf":"$sfDir","chunks":$chunks,"max_files_per_trigger":1,"failed":$failed,"headline":"wall_sec","stable_fields":["wall_sec","out_rows","state_rows_max"],"informational_fields":["rows_per_sec","batch_ms_p50","batch_ms_mean","batch_ms_max"],"queries":$qs}"""
+      s"""{"metric":"streaming_micro_bench","unit":"mixed","sf":"$sfDir","chunks":$chunks,"max_files_per_trigger":1,"protocol":"warmup+median-of-$Replays","failed":$failed,"headline":"wall_sec","stable_fields":["wall_sec","out_rows","state_rows_max"],"informational_fields":["rows_per_sec","batch_ms_p50","batch_ms_mean","batch_ms_max"],"queries":$qs}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("streaming_bench_out.json"), json)
     println("GRAFT_STREAMBENCH_JSON")
