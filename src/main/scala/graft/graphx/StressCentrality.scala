@@ -206,8 +206,8 @@ object StressCentrality {
     val base = Graph.fromEdgeTuples(edges, ())
       .partitionBy(PartitionStrategy.EdgePartition2D).cache()
     val ids = base.vertices.keys.filter(countable).cache()
-    // All source ids, sorted for deterministic rank-sliced batches. This
-    // is the caller-bounded sampling set (|sources| ≪ V), not the graph.
+    // All source ids, sorted for deterministic rank-sliced batches.
+    // bounded-collect: the caller-bounded sampling set (|sources| ≪ V), never edges/vertex state
     val sources: Array[VertexId] = ids.collect().sorted
     // Regime switch for the backward sweep (same threshold as
     // GraphxAnalytics.iterateFixed): lazy one-job chains below, eager
