@@ -67,10 +67,12 @@ object Bench {
     // g07/g10 (dual-implementation validation gates — many tiny iterative
     // jobs on toy graphs, not engine plans).
     val excluded = Set("g07_centrality_pregel", "g10_centrality_batched")
-    // SPARK_GRAFT_SKIP: comma-separated names excluded from this run —
-    // the sf10 gate drops q05/q100, whose outputs grow quadratically with
-    // the copy factor on the fixture's fixed key domain (documented scale
-    // path: the q36 linear Σc² rewrite). Recorded in the artifact.
+    // SPARK_GRAFT_SKIP: comma-separated names excluded from this run — a
+    // generic escape hatch for one-off protocols, recorded in the
+    // artifact. Since r13 the sf10 gate runs with an EMPTY skip list:
+    // derive_scale.py perturbs cloned c_mktsegment per copy so q05's join
+    // output stays linear in the copy factor, and q100 is the
+    // fact×broadcast-dim null-safe shape.
     val skipped = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     // SPARK_GRAFT_BENCH_RUNS: timed runs per query (default 5). The sf10
@@ -127,6 +129,22 @@ object Bench {
     def isShared(n: String): Boolean = shared27.exists(n.startsWith)
     val retimes = names.filter(isShared).map(n => n -> timeOne(n, timed = false))
     val retimeSum = retimes.collect { case (_, t) if t >= 0 => t }.sum
+
+    // Suspect re-time (r13 verdict item 5): last round THREE artifacts were
+    // needed to refute two phantom per-query regressions — elevated medians
+    // that were host noise, visible only by cross-running the same HEAD.
+    // Any query whose timed median exceeded its own min by >1.4×
+    // (substantial queries only — sub-0.15 s mins are timer noise) gets one
+    // more run at the very end: a retime near the MIN says the timed phase
+    // rode ambient load (ignore the median delta); a retime near the
+    // MEDIAN says the cost is real. One artifact now adjudicates its own
+    // outliers. The set is empty on a quiet host and usually < 10 rows.
+    val suspectRetimes = raw.flatMap { case (n, runs) =>
+      val ok = runs.filter(_ >= 0).sorted
+      if (ok.size >= 3 && ok.head >= 0.15 && ok(ok.size / 2) / ok.head > 1.4)
+        Some((n, ok(ok.size / 2), ok.head, timeOne(n, timed = false)))
+      else None
+    }
 
     // Fit-vs-serve split (r9 verdict item 6): the q53/q134/q135 ANN
     // entries serve from per-JVM memoized models — the warm-up pass
@@ -248,10 +266,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val retimeJson =
       s"""{"sum_sec":${fmt(retimeSum)},"ratio_vs_median":${fmt(retimeRatio)},"early_load_trip":$earlyLoad}"""
+    val suspectJson = suspectRetimes.map { case (n, med, mn, rt) =>
+      val ratio = if (rt > 0 && med > 0) rt / med else -1.0
+      "\"" + n + "\":" +
+        s"""{"median":${fmt(med)},"min":${fmt(mn)},"retime":${fmt(rt)},"ratio_vs_median":${fmt(ratio)}}"""
+    }.mkString("{", ",", "}")
     val hostJson =
       s"""{"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val envMeta =
-      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"host":$hostJson,"shared27_retime":$retimeJson,"ann_fit_sec":$annFitJson,"side_queries_sec":$sideJson,"sentinel":$sentinel"""
+      s""""sf":"$sfDir","protocol":"warmup+median-of-$runsPerQuery","failed":${failed.size},"n_queries":${names.size},"skipped":$skippedJson,"shared27_median_sec":${fmt(s27med)},"shared27_min_sec":${fmt(s27min)},"total_min_sec":${fmt(totalMin)},"inflation_index":${fmt(inflation)},"contaminated":$contaminated,"host":$hostJson,"shared27_retime":$retimeJson,"suspect_retime":$suspectJson,"ann_fit_sec":$annFitJson,"side_queries_sec":$sideJson,"sentinel":$sentinel"""
     val fullJson =
       s"""{"metric":"total_median_sec","value":${fmt(total)},"unit":"sec","queries":$qs,$envMeta,"queries_min":$mins,"runs":$allRuns}"""
     val slowest = times.filter(_._2 >= 0).sortBy(-_._2).take(8)

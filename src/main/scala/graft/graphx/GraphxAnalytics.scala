@@ -47,7 +47,12 @@ object GraphxAnalytics {
     // the second scan was a fixed tax on every g07–g12 invocation). The
     // handful-of-KB cache is held by the returned RDD's lineage and
     // reclaimed by the ContextCleaner when the result is GC'd — the same
-    // contract as pagerankFixed's cached output frame.
+    // contract as pagerankFixed's cached output frame. Repeated bench
+    // invocations therefore drift the persistent-RDD count up by one
+    // small entry each until the cleaner runs (ADVICE r13) — bounded by
+    // GC cadence, and deliberately NOT memoized per (dataDir, egos): a
+    // memo would make the g07–g12 bench medians measure a warm-cache
+    // path the entry's first caller never sees.
     val tuples = withSpokes.rdd.map { r =>
       val i = idx(r.getString(0))
       def vid(n: Long): VertexId = i * Offset + (if (n == -1L) Offset - 1 else n)

@@ -199,10 +199,24 @@ object StressCentrality {
     * (StressCentralitySpec).
     */
   def batchedStress(spark: SparkSession, edges: RDD[(VertexId, VertexId)],
-      countable: VertexId => Boolean, batchSize: Int = 64): DataFrame = {
+      countable: VertexId => Boolean, batchSize: Int = 64,
+      onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import spark.implicits._
     require(batchSize >= 1 && batchSize <= 64,
       s"batch frontier state is a Long bitmask: batchSize must be 1..64, got $batchSize")
+    // Per-phase wall reporting for at-scale evidence (r13 verdict items
+    // 3/4): `onPhase` receives ("b<i>_fwd_r<round>" | "b<i>_bwd" |
+    // "b<i>_total", seconds) as each synchronized step completes, so
+    // tools.GraphScale can record per-batch walls (cross-batch
+    // accumulation would show as growing b<i>_total) and per-BFS-level
+    // forward walls (the O(depth²·E) class grows with exactly this
+    // knob). Default no-op — entries and specs are unaffected.
+    def phased[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onPhase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val base = Graph.fromEdgeTuples(edges, ())
       .partitionBy(PartitionStrategy.EdgePartition2D).cache()
     val ids = base.vertices.keys.filter(countable).cache()
@@ -216,7 +230,7 @@ object StressCentrality {
     val nBatches = math.max(1, math.ceil(sources.length.toDouble / batchSize).toInt)
 
     val parts = scala.collection.mutable.ArrayBuffer.empty[RDD[(VertexId, Long)]]
-    for (b <- 0 until nBatches) {
+    for (b <- 0 until nBatches) phased(s"b${b}_total") {
       // An empty slice (no countable sources at all) still runs one cheap
       // no-seed round and contributes an empty part — same shape as the
       // non-empty path, so `parts` is never empty below.
@@ -260,7 +274,7 @@ object StressCentrality {
       var msgs = fwdMsgs(g).cache()
       var active = msgs.count()
       var round = 0
-      while (active > 0) {
+      while (active > 0) phased(s"b${b}_fwd_r${round + 1}") {
         round += 1
         // Local val: captured by value per round (a shared `round` var
         // boxed into the closure would go stale if a cached partition
@@ -380,7 +394,7 @@ object StressCentrality {
           intermediates += bg
           bg = next
         }
-      } else {
+      } else phased(s"b${b}_bwd") {
         // Scale regime: Pregel order per level — materialize the next
         // level's messages (which builds the new graph's replicated view
         // as a delta ship while the predecessor is still cached), THEN

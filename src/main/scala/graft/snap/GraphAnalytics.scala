@@ -22,41 +22,58 @@ object GraphAnalytics {
 
   /** k-core decomposition of the friend-only graphs: iteratively peel
     * every node with degree < k until a fixpoint — the standard
-    * community-density filter. Runs as EXACTLY `rounds` relational peel
-    * passes (degree hash-agg + two semi-joins) so the semantics stay
-    * oracle-expressible as an unrolled SQL pipeline; the fixture's ten
-    * egos converge in ≤5 rounds (validated), so rounds=8 IS the fixpoint
-    * there, and extra rounds past convergence are no-ops by construction.
-    * Each round localCheckpoints: the iterate stays shallow instead of
-    * stacking 8 rounds of join lineage (the q97 staging discipline), and
-    * per-round state is the edge list itself — nothing driver-side. At
-    * 100 TB this is the same shape CC takes: a handful of shuffle-bounded
-    * passes over a shrinking edge list. */
+    * community-density filter. Runs as AT MOST `rounds` relational peel
+    * passes so the semantics stay oracle-expressible as an unrolled SQL
+    * pipeline; the fixture's ten egos converge in ≤5 rounds (validated),
+    * so rounds=8 IS the fixpoint there, and extra rounds past convergence
+    * are no-ops by construction.
+    *
+    * Each round removes the DEAD node set (degree < k) via two anti-joins
+    * rather than keeping the alive set via semi-joins — set-identical per
+    * round (every adjacency row's endpoint has a degree, so dropping
+    * dead-endpoint rows ≡ keeping alive-endpoint rows), but the dead set
+    * is SMALL after the first round (only nodes newly dragged under k),
+    * while the keep set is node-count-sized forever. `dead` is cached and
+    * counted before the joins, so its in-memory stats let Spark broadcast
+    * it: the big adjacency is never shuffled by the joins — each round
+    * costs ONE shuffle (the degree hash-agg) instead of the three the
+    * semi-join form paid (measured at a 1M-node/44.6M-edge derived graph:
+    * the r13 g11 wall was 534 s, dominated by the two per-round SMJ
+    * shuffles of the full edge list; see GRAPH_SCALE_r14). The count
+    * doubles as the fixpoint test: an empty dead set exits BEFORE the
+    * no-op rewrite. Each round localCheckpoints: the iterate stays
+    * shallow instead of stacking `rounds` of join lineage (the q97
+    * staging discipline), and per-round state is the edge list itself —
+    * nothing driver-side. At 100 TB this is the same shape CC takes: a
+    * handful of shuffle-bounded passes over a shrinking edge list, with
+    * AQE free to demote the anti-joins to shuffles if a pathological
+    * first-round dead set outgrows the broadcast threshold. */
   def kcore(edges: DataFrame, k: Int, rounds: Int, parts: Int = 4): DataFrame = {
     // Volume-sized partitions before iterating (the GraphxAnalytics
     // lesson): the ten-ego adjacency is ~60k rows, and every peel round
-    // pays per-partition scheduling on three shuffles. `parts` is the
+    // pays per-partition scheduling on its shuffle. `parts` is the
     // volume knob — the g11 entry keeps the 4 that fits the ten-ego
     // fixture; tools.GraphScale passes the core count for its ~46M-row
     // derived adjacency (r13).
     var adj = adjacency(edges)
       .select(col("ego"), col("v").cast("long").as("v"), col("u").cast("long").as("u"))
       .coalesce(parts).localCheckpoint()
-    var prev = -1L
-    var cur = adj.count()
     var r = 0
+    var converged = false
     // Early exit at the fixpoint is result-identical to running all
     // `rounds` rounds (a converged peel is a no-op), so the unrolled
     // oracle still matches; the bound caps the oracle's CTE depth.
-    while (r < rounds && cur != prev) {
-      val keep = adj.groupBy("ego", "v").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("ego", "v")
-      adj = adj
-        .join(keep, Seq("ego", "v"), "left_semi")
-        .join(keep.withColumnRenamed("v", "u"), Seq("ego", "u"), "left_semi")
-        .localCheckpoint()
-      prev = cur
-      cur = adj.count()
+    while (r < rounds && !converged) {
+      val dead = adj.groupBy("ego", "v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select("ego", "v").cache()
+      if (dead.count() == 0L) converged = true
+      else {
+        adj = adj
+          .join(dead, Seq("ego", "v"), "left_anti")
+          .join(dead.withColumnRenamed("v", "u"), Seq("ego", "u"), "left_anti")
+          .localCheckpoint()
+      }
+      dead.unpersist(blocking = false)
       r += 1
     }
     adj.select(col("ego"), col("v").as("node")).distinct().orderBy("ego", "node")

@@ -19,28 +19,40 @@ import org.apache.spark.sql.functions._
   *  - `copies` id-shifted replicas (vertex offset c·1e10 — composite ids
   *    stay < 1e9, so replicas are disjoint by construction);
   *  - cross-links stitch the replicas into ONE component: within each
-  *    copy, every ego center links to the copy's hub (ego 0's center),
-  *    and hubs link c → (c-1)/2 across copies (a binary tree, so the
-  *    stitched diameter grows with log(copies), not copies — BFS-round
-  *    counts stay bounded).
+  *    copy, every ego center links to the copy's hub (ego 0's center);
+  *    across copies the hubs link either c → (c-1)/2 (`tree` topology —
+  *    a binary tree, stitched diameter ~ log(copies), the social-shaped
+  *    default) or c → c-1 (`chain` topology, r13 verdict item 4 — a
+  *    LONG-DIAMETER stress: diameter grows ~ copies, so deep-BFS rounds
+  *    exercise exactly the knob the O(depth²·E) replicated-view bug
+  *    class grows with; the hub tree can never reach those depths).
   *
   * Timed (wall) on the derived graph: g08 connected components, g09
   * fixed-point PageRank, g12 fixed-point PPR, g11 k-core peel, and the
-  * Brandes source-batched stress centrality (one full forward+backward
-  * sweep over a deterministic pseudo-random source batch — per-batch
-  * cost is the unit a full run multiplies by sources/batchSize).
+  * Brandes source-batched stress centrality over `batches` source
+  * batches (per-batch AND per-forward-BFS-round walls recorded — flat
+  * per-batch walls are the no-cross-batch-accumulation evidence of r13
+  * verdict item 3; per-round walls are the depth-scaling evidence of
+  * item 4).
   *
-  * The CC result is verified against the construction invariant
-  * (1 component of exactly nodeCount vertices). The fixed-point
-  * PageRank/PPR results stay fully VERIFIABLE at this scale — rank·1e10
-  * BIGINT arithmetic is bit-exact in any engine — so the tool dumps the
-  * directed edge list + both rank tables as parquet and
-  * tools/graph_scale_check.py replays the same 10 unrolled integer
-  * rounds in DuckDB and compares every row (the g09/g12 oracle
-  * discipline at 1M nodes).
+  * Verification (all four at-scale results are bit-exactly replayable —
+  * r13 verdict item 1 closed the g08/g11 gap):
+  *  - g09/g12: rank·1e10 BIGINT fixed-point arithmetic is bit-exact in
+  *    any engine; the tool dumps both rank tables and
+  *    tools/graph_scale_check.py replays the same 10 unrolled integer
+  *    rounds in DuckDB and compares every row;
+  *  - g08: CC labels at fixpoint are the component-min vertex id —
+  *    engine-independent — so the checker replays min-label propagation
+  *    to ITS fixpoint over the dumped edge list and compares every
+  *    label (the 1-component construction invariant is still asserted
+  *    in-run as a fast sanity gate);
+  *  - g11: the peel is exactly ≤8 relational rounds with a
+  *    deterministic per-round result; the checker replays the same
+  *    rounds (same early exit) and compares the surviving node set.
   *
-  * Usage: GraphScale <outDir> [copies=250] [iters=10]
-  * Writes <outDir>/{edges,pagerank,ppr}.parquet + <outDir>/graph_scale_raw.json.
+  * Usage: GraphScale <outDir> [copies=250] [iters=10] [topology=tree] [batches=4]
+  * Writes <outDir>/{edges,pagerank,ppr,cc,kcore}.parquet +
+  * <outDir>/graph_scale_raw.json.
   */
 object GraphScale {
 
@@ -60,7 +72,7 @@ object GraphScale {
     * cartesian(copies × base partitions) — no driver-side edge list, no
     * shuffle of the replicated volume. */
   def derivedPairs(spark: org.apache.spark.sql.SparkSession, dataDir: String,
-      copies: Int): RDD[(VertexId, VertexId)] = {
+      copies: Int, chain: Boolean = false): RDD[(VertexId, VertexId)] = {
     val sc = spark.sparkContext
     val base = GraphxAnalytics.unionEdgeTuples(spark, dataDir)
     val egoIdx = GraphxAnalytics.egoOrder.indices
@@ -68,12 +80,16 @@ object GraphScale {
       sc.parallelize(0 until copies, math.min(copies, 32))
         .cartesian(base)
         .map { case (c, (a, b)) => (a + c * CopyOffset, b + c * CopyOffset) }
+    // Hub stitch: binary tree (log-diameter, default) or chain (diameter
+    // ~ copies — the long-diameter topology of r13 verdict item 4).
+    val hubLinks = (1 until copies)
+      .map(c => (hub(c), if (chain) hub(c - 1) else hub((c - 1) / 2)))
     val crossCopy: RDD[(VertexId, VertexId)] = sc.parallelize(
       (for {
         c <- 0 until copies
         i <- egoIdx if i > 0 // ego 0's center IS the hub — no self-loop
       } yield (i * 100000000L + 100000000L - 1L + c * CopyOffset, hub(c))) ++
-        (1 until copies).map(c => (hub(c), hub((c - 1) / 2))), 2)
+        hubLinks, 2)
     replicas.union(crossCopy)
   }
 
@@ -81,6 +97,10 @@ object GraphScale {
     val outDir = args(0)
     val copies = if (args.length > 1) args(1).toInt else 250
     val iters = if (args.length > 2) args(2).toInt else 10
+    val topology = if (args.length > 3) args(3) else "tree"
+    val batches = if (args.length > 4) args(4).toInt else 4
+    require(topology == "tree" || topology == "chain",
+      s"topology must be tree|chain, got $topology")
     val spark = Sessions.local("graft-graph-scale")
     val sc = spark.sparkContext
     import spark.implicits._
@@ -93,7 +113,8 @@ object GraphScale {
     }
 
     // ---- derived graph ---------------------------------------------------
-    val pairs = derivedPairs(spark, GraphSuite.dataDir, copies)
+    val pairs = derivedPairs(spark, GraphSuite.dataDir, copies,
+      chain = topology == "chain")
     // Both directions, volume-sized partitions (~1.5M directed edges per
     // partition across the default-32 grid), cached for the five
     // algorithm runs below.
@@ -101,7 +122,7 @@ object GraphScale {
       .repartition(math.max(sc.defaultParallelism, 2)).cache()
     val nEdges = directed.count()
     val nNodes = directed.flatMap(t => Iterator(t._1, t._2)).distinct().count()
-    System.err.println(s"[graph-scale] derived graph: $nNodes nodes, $nEdges directed edges")
+    System.err.println(s"[graph-scale] derived graph ($topology): $nNodes nodes, $nEdges directed edges")
 
     val walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val facts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -112,21 +133,34 @@ object GraphScale {
     phase("g08_cc")
 
     // ---- g08 at scale: connected components ------------------------------
-    val ((nComp, largest), tCc) = timed {
-      val g = Graph.fromEdgeTuples(directed, ())
+    // ONE tuple per undirected pair (a cheap narrow filter over the cached
+    // symmetric closure): GraphX CC propagates the min label along BOTH
+    // triplet directions of every edge, so the second direction is pure
+    // duplicate per-round volume — labels at the fixpoint are identical
+    // (component-min ids) and the halved edge set halves each round's
+    // aggregateMessages work (r13 ran CC on the full closure: 586 s; see
+    // GRAPH_SCALE_r14 for the halved wall). The timed window is the CC
+    // run + label materialization; stats and the dump are outside it.
+    val (ccLabels, tCc) = timed {
+      val g = Graph.fromEdgeTuples(directed.filter(t => t._1 < t._2), ())
         .partitionBy(PartitionStrategy.EdgePartition2D)
-      val sizes = g.connectedComponents().vertices
-        .map { case (_, lbl) => (lbl, 1L) }.reduceByKey(_ + _).cache()
-      val out = (sizes.count(), sizes.values.max())
-      sizes.unpersist(blocking = false)
-      out
+      val labels = g.connectedComponents().vertices.cache()
+      labels.count()
+      labels
     }
     walls("g08_cc") = tCc
+    val sizes = ccLabels.map { case (_, lbl) => (lbl, 1L) }.reduceByKey(_ + _).cache()
+    val (nComp, largest) = (sizes.count(), sizes.values.max())
+    sizes.unpersist(blocking = false)
     facts("cc_components") = nComp
     facts("cc_largest") = largest
-    // Construction invariant: the cross-links stitch EVERYTHING.
+    // Fast in-run sanity gate (construction invariant: the cross-links
+    // stitch EVERYTHING); the bit-exact per-label check is the DuckDB
+    // min-label replay in tools/graph_scale_check.py over this dump.
     require(nComp == 1L && largest == nNodes,
       s"derived graph must be one component of $nNodes (got $nComp components, largest $largest)")
+    ccLabels.toDF("id", "label").write.mode("overwrite").parquet(s"$outDir/cc.parquet")
+    ccLabels.unpersist(blocking = false)
 
     // ---- g09 at scale: fixed-point PageRank (verifiable) -----------------
     phase("g09_pagerank_fixed")
@@ -157,50 +191,71 @@ object GraphScale {
     ppr.write.mode("overwrite").parquet(s"$outDir/ppr.parquet")
 
     // ---- g11 at scale: k-core peel ---------------------------------------
+    // Input derived from the CACHED symmetric closure (ADVICE r13: the
+    // uncached `pairs` lineage re-ran the cartesian derivation inside the
+    // timed window), one tuple per undirected pair — kcore symmetrizes
+    // internally, so this is the same adjacency the r13 run peeled.
     phase("g11_kcore")
-    val (kcoreNodes, tKcore) = timed {
-      val edgesDf = pairs.toDF("src", "dst").withColumn("ego", lit("g"))
-      graft.snap.GraphAnalytics.kcore(edgesDf, k = 10, rounds = 8,
-        parts = math.max(sc.defaultParallelism, 2)).count()
+    val (kcoreDf, tKcore) = timed {
+      val edgesDf = directed.filter(t => t._1 < t._2)
+        .toDF("src", "dst").withColumn("ego", lit("g"))
+      val out = graft.snap.GraphAnalytics.kcore(edgesDf, k = 10, rounds = 8,
+        parts = math.max(sc.defaultParallelism, 2))
+      facts("kcore_nodes") = out.count()
+      out
     }
     walls("g11_kcore") = tKcore
-    facts("kcore_nodes") = kcoreNodes
+    kcoreDf.select(col("node")).write.mode("overwrite").parquet(s"$outDir/kcore.parquet")
 
-    // ---- Brandes batched stress: one source batch ------------------------
-    // Deterministic pseudo-random ~32 sources (hash-mod sized to the
-    // derived node count) in ONE batch: a full forward multi-source BFS +
-    // the backward ψ sweep over the whole 1M-node graph with O(batch)
-    // per-vertex state. A full all-sources run is nodes/batch such
-    // sweeps — inherently O(V·E) on ANY engine — so the per-batch wall
-    // is the honest unit of scale evidence. Batch sizing IS the
+    // ---- Brandes batched stress: `batches` source batches -----------------
+    // Deterministic pseudo-random ~32·batches sources (hash-mod sized to
+    // the derived node count), batchSize 32: each batch is a full forward
+    // multi-source BFS + the backward ψ sweep over the whole graph with
+    // O(batch) per-vertex state. A full all-sources run is nodes/batch
+    // such sweeps — inherently O(V·E) on ANY engine — so the per-batch
+    // wall is the honest unit of scale evidence, and FLAT per-batch walls
+    // across ≥4 batches are the no-cross-batch-accumulation evidence the
+    // r13 verdict asked for (nothing leaks through the `parts` buffer or
+    // the base-graph cache between batches). Per-forward-round walls are
+    // recorded too: on the chain topology BFS depth ~ copies, so a
+    // depth-dependent recompute (the O(depth²·E) class the r13 fix
+    // removed) would show as per-round walls GROWING with the round
+    // index instead of tracking frontier size. Batch sizing stays the
     // memory/throughput knob the Scaladoc prescribes: with the packed
     // primitive state (bitmask + Array[Long], r13) a 32-source batch is
     // ~400 B/vertex; the earlier boxed-Map encoding OOMed a 64 g heap at
     // 64 sources and its forward rounds grew 16→55 min at 32 — the
     // measurement that forced the packed rewrite.
     phase("stress_batched")
-    val srcMod = math.max(1L, nNodes / 32L)
+    val srcMod = math.max(1L, nNodes / (32L * batches))
     val countable = (vid: VertexId) => (vid * 2654435761L % srcMod) == 0L
+    val stressPhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val (stressRows, tStress) = timed {
       val df = StressCentrality.batchedStress(spark, directed
-        .filter(t => t._1 < t._2), countable, batchSize = 64)
+        .filter(t => t._1 < t._2), countable, batchSize = 32,
+        onPhase = (name, sec) => {
+          stressPhases(name) = sec
+          System.err.println(f"[graph-scale] stress $name: $sec%.1f s")
+        })
       val n = df.count()
       df.unpersist()
       n
     }
-    walls("stress_batched_1batch") = tStress
+    walls("stress_batched") = tStress
     facts("stress_sources") = stressRows
+    facts("stress_batches") = stressPhases.keys.count(_.endsWith("_total"))
 
     // ---- artifact --------------------------------------------------------
     phase("dump")
     val heapMax = Runtime.getRuntime.maxMemory() / (1L << 20)
     def fmt(d: Double) = "%.2f".format(d)
     val json =
-      s"""{"metric":"graph_scale","copies":$copies,"iters":$iters,"scale_fp":$ScaleAt1M,""" +
+      s"""{"metric":"graph_scale","topology":"$topology","copies":$copies,"iters":$iters,"scale_fp":$ScaleAt1M,""" +
         s""""heap_mb":$heapMax,"cpus":${Runtime.getRuntime.availableProcessors},""" +
         facts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("", ",", ",") +
         s""""walls_sec":${walls.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
-        s""""fixed_point_check":"run tools/graph_scale_check.py $outDir $iters $ScaleAt1M"}"""
+        s""""stress_phase_walls_sec":${stressPhases.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
+        s""""replay_check":"run tools/graph_scale_check.py $outDir $iters $ScaleAt1M"}"""
     // The directed edge list LAST (it is the biggest dump and the checker
     // needs it): exactly what the iterations consumed.
     directed.toDF("u", "v").write.mode("overwrite").parquet(s"$outDir/edges.parquet")

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (recall@10 0.90). A user tuning IVF needs the measured frontier —
   * recall vs scanned fraction vs serve wall — not a single operating
   * point. This sweeps nprobe at the entry's nlist (and a denser nlist
-  * for contrast) on a derived copy fixture, with the RecallGate's
-  * tie-robust recall@10 over the same probe set, timing the SERVE path
+  * for contrast) on a derived copy fixture, with [[RecallCommon]]'s
+  * tie-robust recall@10 over the same probe set as RecallGate (one
+  * shared definition since r14 — the two tools previously carried
+  * duplicate copies that could drift), timing the SERVE path
   * (models fit once per nlist and memoized, the production split).
   *
   * Usage: IvfFrontier <derivedSfDir> <outJson>
@@ -23,19 +25,10 @@ object IvfFrontier {
     import spark.implicits._
     val k = 10
 
-    val base0 = RecallGate.vecBase(spark, sfDir)
-    // Same probe construction as RecallGate.run: base-copy probes plus
-    // one per later copy (offset 100000 — the derive_scale id shift).
-    val copyOffsets = base0.select((col("vec_id") / 100000L).cast("long"))
-      .distinct().as[Long].collect().sorted
-    val probes: Seq[Long] = Seq(0L, 117L) ++
-      copyOffsets.drop(1).take(2).map(_ * 100000L + 117L)
+    val base0 = RecallCommon.vecBase(spark, sfDir)
+    val probes: Seq[Long] = RecallCommon.copyProbes(spark, base0)
 
     val dotM = expr("array_dot(arr, pvec)")
-    def withProbe(p: Long) = {
-      val probe = base0.filter(col("vec_id") === p).head().getSeq[Double](1)
-      base0.withColumn("pvec", typedLit(probe))
-    }
 
     val configs = Seq(
       (16, 1), (16, 2), (16, 4), (16, 6), (16, 8),
@@ -52,7 +45,7 @@ object IvfFrontier {
       val returned = probes.map(p => p -> serve(p)).toMap
       val serveSec = (System.nanoTime() - t0) / 1e9 / probes.size
       val recalls = probes.map { p =>
-        RecallGate.recallOf(withProbe(p), dotM, p, k, returned(p))
+        RecallCommon.recallOf(RecallCommon.withProbe(base0, p)._1, dotM, p, k, returned(p))
       }
       val mean = recalls.sum / recalls.size
       System.err.println(f"[ivf-frontier] nlist=$nlist nprobe=$nprobe " +

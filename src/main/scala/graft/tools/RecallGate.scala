@@ -35,35 +35,7 @@ import org.apache.spark.sql.functions._
   * nonzero if any gate fails. Usage: RecallGate <derivedSfDir> <outJson>
   */
 object RecallGate {
-
-  private[tools] def vecBase(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("arr"))
-
-  /** (top10 ids, tie-robust 10th score) for `metricCol` over the corpus. */
-  private[tools] def exactTop(base: DataFrame, metricCol: org.apache.spark.sql.Column,
-      probeId: Long, k: Int): (Set[Long], Double) = {
-    val top = base.filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"), metricCol.as("score"))
-      .orderBy(col("score").desc, col("vec_id")).limit(k)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    (top.map(_._1).toSet, top.map(_._2).min)
-  }
-
-  /** Tie-robust recall@k: fraction of returned ids whose exact score ties
-    * or beats the exact k-th score (1e-9 slack for engine-side rounding). */
-  private[tools] def recallOf(base: DataFrame, metricCol: org.apache.spark.sql.Column,
-      probeId: Long, k: Int, returned: Seq[Long]): Double = {
-    val (_, kth) = exactTop(base, metricCol, probeId, k)
-    if (returned.isEmpty) 0.0
-    else {
-      val scores = base.filter(col("vec_id").isin(returned.map(Long.box): _*))
-        .select(col("vec_id"), metricCol.as("score"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      returned.count(id => scores.getOrElse(id, Double.NegativeInfinity) >= kth - 1e-9)
-        .toDouble / k
-    }
-  }
+  import RecallCommon.{recallOf, vecBase, withProbe}
 
   /** All gates over a derived copy-structured fixture dir; returns
     * (metrics, failures). Callable from the CLI main (sf1/sf10 on-demand
@@ -78,15 +50,7 @@ object RecallGate {
     val base0 = vecBase(spark, sfDir)
     val nVecs = base0.count()
     // Probes span distinct copies of the derived fixture (offset 100000).
-    val copyOffsets = base0.select((col("vec_id") / 100000L).cast("long"))
-      .distinct().as[Long].collect().sorted
-    val probes: Seq[Long] = Seq(0L, 117L) ++
-      copyOffsets.drop(1).take(2).map(_ * 100000L + 117L)
-
-    def withProbe(p: Long): (DataFrame, Seq[Double]) = {
-      val probe = base0.filter(col("vec_id") === p).head().getSeq[Double](1)
-      (base0.withColumn("pvec", typedLit(probe)), probe)
-    }
+    val probes: Seq[Long] = RecallCommon.copyProbes(spark, base0)
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -98,7 +62,7 @@ object RecallGate {
     def meanRecall(entry: String, run: Long => Seq[Long],
         metric: org.apache.spark.sql.Column): Double = {
       val rs = probes.map { p =>
-        val (withP, _) = withProbe(p)
+        val (withP, _) = withProbe(base0, p)
         recallOf(withP, metric, p, k, run(p))
       }
       System.err.println(s"[recall] $entry per-probe: ${rs.mkString(", ")}")
@@ -139,7 +103,7 @@ object RecallGate {
       .select("probe_id", "cand_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val batchRecalls = (0L until 50L).map { p =>
-      val (withP, _) = withProbe(p)
+      val (withP, _) = withProbe(base0, p)
       recallOf(withP, cosM, p, k, batch.getOrElse(p, Seq.empty))
     }
     gate("q70_batch_mean_recall_at10", batchRecalls.sum / batchRecalls.size, minRecall)

@@ -175,6 +175,13 @@ class GraphxAnalyticsSpec extends SparkSuite {
     // sampling and cache bookkeeping). The r12 per-round-barrier form
     // adds one msgs.count() job per iteration on top — ≥ 19 for 10
     // iterations — so 12 cleanly separates the regimes.
+    // NOTE (ADVICE r13): the 12 (and the ≤10 cached-RDD peak below)
+    // encode Spark 4.1.2 scheduler/GraphX bookkeeping. The margin to the
+    // regression shape is ≥ 2× in both tests, so a Spark upgrade that
+    // adds a job or a cached block should still pass — but if one of
+    // these flakes right after a Spark bump with no engine change,
+    // re-measure the clean shape and re-pin rather than chasing a
+    // phantom regression.
     assert(cur <= 12, s"lazy fixed-point path scheduled $cur jobs for 10 iterations — " +
       "per-round barriers are back")
   }
