@@ -64,19 +64,32 @@ object GraphAnalytics {
     // `rounds` rounds (a converged peel is a no-op), so the unrolled
     // oracle still matches; the bound caps the oracle's CTE depth.
     while (r < rounds && !converged) {
-      val dead = adj.groupBy("ego", "v").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") < k).select("ego", "v").cache()
-      if (dead.count() == 0L) converged = true
-      else {
-        adj = adj
-          .join(dead, Seq("ego", "v"), "left_anti")
-          .join(dead.withColumnRenamed("v", "u"), Seq("ego", "u"), "left_anti")
-          .localCheckpoint()
-      }
+      val (dead, nDead, next) = peelRound(adj, k)
+      if (nDead == 0L) converged = true
+      else adj = next.localCheckpoint()
       dead.unpersist(blocking = false)
       r += 1
     }
     adj.select(col("ego"), col("v").as("node")).distinct().orderBy("ego", "node")
+  }
+
+  /** One k-core peel round over a symmetric adjacency: returns the
+    * CACHED dead node set (degree < k), its count (the count both
+    * materializes the cache — giving the planner in-memory size stats,
+    * which is what lets the anti-joins broadcast — and is the caller's
+    * fixpoint test), and the rewritten-adjacency PLAN (unexecuted: the
+    * caller checkpoints it). Exposed for GraphAnalyticsPlanSpec, which
+    * pins the broadcast-anti shape so the 3-shuffles-per-round
+    * regression class fails `sbt test`, not the hour-long 1M-node run. */
+  private[graft] def peelRound(adj: DataFrame, k: Int)
+      : (DataFrame, Long, DataFrame) = {
+    val dead = adj.groupBy("ego", "v").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") < k).select("ego", "v").cache()
+    val nDead = dead.count()
+    val next = adj
+      .join(dead, Seq("ego", "v"), "left_anti")
+      .join(dead.withColumnRenamed("v", "u"), Seq("ego", "u"), "left_anti")
+    (dead, nDead, next)
   }
 
   /** Adjacency of G⁺ = friend edges + ego spokes, both directions.

@@ -40,6 +40,43 @@ class GraphScaleSpec extends SparkSuite {
     base.unpersist(blocking = false)
   }
 
+  test("chain topology: hub links form a path, diameter grows with copies") {
+    val copies = 5
+    val tree = GraphScale.derivedPairs(spark, GraphSuite.dataDir, copies).cache()
+    val chain = GraphScale
+      .derivedPairs(spark, GraphSuite.dataDir, copies, chain = true).cache()
+    // Same edge budget — only the hub stitch differs.
+    assert(tree.count() == chain.count())
+    val hubIds = (0 until copies).map(GraphScale.hub).toSet
+    val chainHubLinks = chain.filter { case (a, b) =>
+      hubIds.contains(a) && hubIds.contains(b)
+    }.collect().toSet // bounded-collect: copies-1 hub links
+    assert(chainHubLinks ==
+      (1 until copies).map(c => (GraphScale.hub(c), GraphScale.hub(c - 1))).toSet,
+      "chain stitch must be the hub path c -> c-1")
+    // BFS distance hub(0) -> hub(copies-1) is exactly copies-1 on the
+    // chain (long diameter) vs <= 2·log2(copies) hops on the tree.
+    def hubDist(pairs: org.apache.spark.rdd.RDD[(Long, Long)]): Int = {
+      val adj = pairs.flatMap(t => Iterator(t, t.swap))
+        .filter(t => hubIds.contains(t._1) && hubIds.contains(t._2))
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap // bounded-collect: hub-hub links only
+      var frontier = Set(GraphScale.hub(0))
+      var seen = frontier
+      var d = 0
+      while (!frontier.contains(GraphScale.hub(copies - 1))) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(seen)
+        seen ++= frontier
+        d += 1
+        assert(d <= copies, "hub graph disconnected?")
+      }
+      d
+    }
+    assert(hubDist(chain) == copies - 1)
+    assert(hubDist(tree) < copies - 1)
+    tree.unpersist(blocking = false)
+    chain.unpersist(blocking = false)
+  }
+
   test("the at-1M fixed-point scale satisfies the enforced magnitude bound") {
     // 250 copies ≈ 1.06M nodes; the knob GraphScale runs at must clear
     // requireFixedPointBounds (100·n·scale ≤ Long.MaxValue) with margin,
