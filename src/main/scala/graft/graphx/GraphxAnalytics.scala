@@ -124,6 +124,26 @@ object GraphxAnalytics {
       .orderBy("ego")
   }
 
+  /** (ego, n_components, largest) of the friend-only graph via
+    * STAR-CONTRACTION CC ([[StarComponents]]) — the log-round,
+    * diameter-independent relational path, oracled by the SAME DuckDB
+    * reachability closure as [[componentStats]] (g13 vs g08: the two CC
+    * implementations must agree under the driver's gate, the g07/g10
+    * dual-implementation discipline; at 1M nodes StarCcCheck showed 5
+    * rounds / 54 s vs GraphX label propagation's 608 s). */
+  def componentStatsStar(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
+    import s.implicits._
+    val pairs = compositeEdges(s, dataDir, egos, withEgoCenter = false).toDF("u", "v")
+    StarComponents.run(s, pairs)
+      .groupBy((col("id") / Offset).cast("int").as("egoIdx"), col("label"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("egoIdx")
+      .agg(count(lit(1)).as("n_components"), max("sz").as("largest"))
+      .select(element_at(typedLit(egos), col("egoIdx") + 1).as("ego"),
+        col("n_components"), col("largest"))
+      .orderBy("ego")
+  }
+
   /** (name, rank) — personalized PageRank on one ego's friend-only graph
     * from its minimum node id: random walks teleport back to the SOURCE
     * instead of everywhere, so rank measures proximity to it — the

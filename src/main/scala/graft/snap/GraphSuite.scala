@@ -28,6 +28,29 @@ object GraphSuite {
       "columns={'a':'VARCHAR','b':'VARCHAR'}, filename=true)), " +
       "f AS (SELECT DISTINCT ego, a AS name FROM e0 UNION SELECT DISTINCT ego, b AS name FROM e0)"
 
+  /** DuckDB recursive reachability closure over the five small egos —
+    * ONE oracle shared by g08 (GraphX label propagation) and g13 (star
+    * contraction): two independent engine implementations, one truth.
+    * Restricted to the small egos because the closure is O(V²). */
+  private val ccOracle: String =
+    "WITH RECURSIVE e0 AS (" +
+      "SELECT regexp_extract(filename, '([0-9]+)\\.edges', 1) AS ego, a, b " +
+      s"FROM read_csv('$dataDir/*.edges', delim=' ', header=false, " +
+      "columns={'a':'VARCHAR','b':'VARCHAR'}, filename=true) " +
+      "WHERE regexp_extract(filename, '([0-9]+)\\.edges', 1) " +
+      "IN ('348', '3980', '414', '686', '698')), " +
+      "adj AS (SELECT DISTINCT ego, a AS v, b AS u FROM e0 " +
+      "UNION SELECT DISTINCT ego, b, a FROM e0), " +
+      "n AS (SELECT DISTINCT ego, v FROM adj), " +
+      "r AS (SELECT ego, v, v AS reach FROM n " +
+      "UNION SELECT adj.ego, adj.v, r.reach FROM r " +
+      "JOIN adj ON r.ego = adj.ego AND r.v = adj.u), " +
+      "comp AS (SELECT ego, v, min(reach) AS lbl FROM r GROUP BY 1, 2) " +
+      "SELECT ego, count(DISTINCT lbl) AS n_components, " +
+      "CAST(max(sz) AS BIGINT) AS largest FROM " +
+      "(SELECT ego, lbl, count(*) AS sz FROM comp GROUP BY 1, 2) " +
+      "GROUP BY ego ORDER BY ego"
+
   private val duckCanonical =
     "e AS (SELECT DISTINCT ego, least(a,b) AS s, greatest(a,b) AS d FROM e0), " +
       "adj AS (SELECT ego, s AS v, d AS u FROM e UNION ALL SELECT ego, d AS v, s AS u FROM e), " +
@@ -250,23 +273,19 @@ object GraphSuite {
     QuerySpec("g08_connected_components",
       (s, _) => graft.graphx.GraphxAnalytics.componentStats(
         s, dataDir, Seq("348", "3980", "414", "686", "698")),
-      Some("WITH RECURSIVE e0 AS (" +
-        "SELECT regexp_extract(filename, '([0-9]+)\\.edges', 1) AS ego, a, b " +
-        s"FROM read_csv('$dataDir/*.edges', delim=' ', header=false, " +
-        "columns={'a':'VARCHAR','b':'VARCHAR'}, filename=true) " +
-        "WHERE regexp_extract(filename, '([0-9]+)\\.edges', 1) " +
-        "IN ('348', '3980', '414', '686', '698')), " +
-        "adj AS (SELECT DISTINCT ego, a AS v, b AS u FROM e0 " +
-        "UNION SELECT DISTINCT ego, b, a FROM e0), " +
-        "n AS (SELECT DISTINCT ego, v FROM adj), " +
-        "r AS (SELECT ego, v, v AS reach FROM n " +
-        "UNION SELECT adj.ego, adj.v, r.reach FROM r " +
-        "JOIN adj ON r.ego = adj.ego AND r.v = adj.u), " +
-        "comp AS (SELECT ego, v, min(reach) AS lbl FROM r GROUP BY 1, 2) " +
-        "SELECT ego, count(DISTINCT lbl) AS n_components, " +
-        "CAST(max(sz) AS BIGINT) AS largest FROM " +
-        "(SELECT ego, lbl, count(*) AS sz FROM comp GROUP BY 1, 2) " +
-        "GROUP BY ego ORDER BY ego")),
+      Some(ccOracle)),
+
+    // Row 45 stretch, r14: the SAME component stats via star-contraction
+    // CC (graphx/StarComponents — log-round, diameter-independent, the
+    // 100 TB CC shape) against the SAME oracle as g08: label propagation
+    // and star contraction must agree under the driver's gate, the
+    // g07/g10 dual-implementation discipline applied to CC. At 1M nodes
+    // the star path runs 5 rounds / 54 s vs GraphX's 608 s
+    // (GRAPH_SCALE_r14.json + tools.StarCcCheck, 0 label mismatches).
+    QuerySpec("g13_cc_star",
+      (s, _) => graft.graphx.GraphxAnalytics.componentStatsStar(
+        s, dataDir, Seq("348", "3980", "414", "686", "698")),
+      Some(ccOracle)),
 
     // Row 43-45 stretch: k-core decomposition (k=10) of the friend-only
     // graphs — iterative degree peel (degree agg + two semi-joins per
