@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.graphx.Graph
+import graft.graphx.StarComponents
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -71,51 +71,46 @@ object DedupSuite {
   /** End-to-end dedup: near-dup PAIRS become duplicate CLUSTERS with one
     * canonical survivor each. A≈B and B≈C must drop B AND C even when
     * A≉C directly — pair lists alone under-delete — so the banded MinHash
-    * pairs are fed to GraphX ConnectedComponents (label = min member id)
-    * and each component keeps its lowest doc_id.
+    * pairs are fed to connected components (label = min member id) and
+    * each component keeps its lowest doc_id.
+    *
+    * The cluster step is STAR-CONTRACTION CC ([[graft.graphx.StarComponents]]),
+    * not GraphX label propagation (the pre-r15 form): long dedup families
+    * are chains by construction (A≈B≈…≈Z where only adjacent docs overlap
+    * enough to pair), and label propagation pays one synchronized round
+    * per hop of that chain — the r14 chain fixture measured a 63-round
+    * GraphX fixpoint where star contraction took 7. Labels are identical
+    * by construction (component-min ids), so the swap is
+    * behavior-preserving: DedupSpec's planted chains (incl. a depth-20
+    * path) and the RECALL family-collapse gates pin it.
     *
     * 100 TB shape: the edge list is the LSH bucket join's output (linear
-    * in candidate pairs, never all-pairs), CC is the same iterative
-    * executor-side job as g08 (no driver collect — the pair DataFrame's
-    * row RDD maps straight to edge tuples), and the final keep-list is
-    * one groupBy on the component label. */
+    * in candidate pairs, never all-pairs), the CC rounds are hash-agg +
+    * broadcast-join passes over a SHRINKING pair list with a round count
+    * ~log(component size) regardless of chain depth, and the final
+    * keep-list is one groupBy on the component label. */
   def dedupClusters(s: SparkSession, d: String, distThreshold: Double,
       docs: DataFrame = null): DataFrame = {
-    import s.implicits._
     val base = Option(docs).getOrElse(toks(s, d))
-    // Right-size partitions to corpus size before CC iterates (same
-    // policy as GraphxAnalytics.compositeEdges: GraphX pays per-partition
-    // scheduling every round, and the LSH pair list is usually a tiny
-    // fraction of the corpus). Sizing is METADATA-ONLY (r10 verdict item
-    // 4 — the previous base.count() ran a full scan per invocation just
-    // to pick a partition count): the input's split count already tracks
-    // data volume — file-count-sized for parquet scans, row-bounded for
-    // local test relations — so the edge list inherits it, floored at 2
-    // and capped at cluster parallelism.
-    val parts = math.max(2,
-      math.min(s.sparkContext.defaultParallelism, base.rdd.getNumPartitions))
-    // CC messages flow along both triplet directions, so ONE tuple per
-    // undirected pair suffices. Cached: Pregel re-reads edges each round.
-    val edges = minhashPairs(s, d, distThreshold, base)
-      .select("a_id", "b_id").rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .coalesce(parts)
+    // Cached: StarComponents scans its input twice (initial edge list +
+    // the vertex capture), and the LSH bucket join upstream is the
+    // expensive part — without the cache it would run twice.
+    val pairs = minhashPairs(s, d, distThreshold, base)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
       .cache()
     // The returned DataFrame is cached and eagerly materialized so the
-    // GraphX lineage never re-executes (and the edge cache can be
+    // iterative lineage never re-executes (and the pair cache can be
     // released here). Contract: callers holding it long-term may
     // unpersist() it when done; otherwise Spark's ContextCleaner drops
     // the (cluster-count-sized) cached blocks when the DataFrame's RDD
     // is garbage-collected.
-    val out = Graph.fromEdgeTuples(edges, ())
-      .connectedComponents().vertices
-      .toDF("doc_id", "cluster_id")
-      .groupBy("cluster_id")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+    val out = StarComponents.run(s, pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
       .cache()
     out.count()
-    edges.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
     out
   }
 
@@ -333,7 +328,7 @@ object DedupSuite {
         docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))),
       None,
-      gate = Some("property:DedupSpec/A≈B≈C chain collapses to one cluster, lowest id kept")),
+      gate = Some("property:DedupSpec/planted chains (A≈B≈C and a depth-20 path) collapse to one cluster, lowest id kept")),
 
     // Embedding-cosine near-dup dedup: drop every vector with an EARLIER
     // (lower-id) neighbour at cosine >= threshold, reporting the earliest

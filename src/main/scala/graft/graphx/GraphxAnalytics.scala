@@ -109,32 +109,53 @@ object GraphxAnalytics {
       .orderBy("ego", "name")
   }
 
-  /** (ego, n_components, largest) of the friend-only graph. */
-  def componentStats(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
+  /** Above this many undirected pairs [[componentLabels]] routes CC
+    * through star contraction instead of GraphX label propagation (the
+    * [[LazyChainMaxNodes]] regime-split pattern applied to CC). Below it
+    * GraphX's per-round constant is small and social-shaped fixtures
+    * converge in ≤~11 rounds, while star contraction's relational rounds
+    * each pay two hash-aggs + joins + a localCheckpoint of scheduler
+    * overhead (~0.3-0.5 s on KB-sized data); above it the log-round,
+    * diameter-independent star shape wins — 13× at 22.3M pairs / 1M
+    * nodes (47 s vs GraphX's 608 s, GRAPH_SCALE_r14), unboundedly more
+    * on long-diameter data. The threshold is VOLUME-based: a small but
+    * pathologically deep graph (a 100k-node path) would still be
+    * diameter-bound on the GraphX branch — callers that KNOW their
+    * pairs are chain-shaped (e.g. dedup families) should call
+    * [[StarComponents]] directly, as DedupSuite.dedupClusters does. */
+  private[graft] val GraphxCcMaxPairs = 1000000L
+
+  /** (id, label = component-min vertex id) for an undirected pair RDD,
+    * regime-routed per [[GraphxCcMaxPairs]]; returns the labels (cached
+    * and materialized — ContextCleaner reclaims them when the frame is
+    * GC'd, the pagerankFixed contract) and the branch taken ("graphx" |
+    * "star"). Both branches produce IDENTICAL labels (component-min ids;
+    * StarComponentsSpec + tools.StarCcCheck pin it), so the route is
+    * behavior-invisible — only the round/shuffle shape changes. One
+    * tuple per undirected pair suffices on both branches: GraphX CC
+    * propagates min labels along BOTH triplet directions, and star
+    * contraction symmetrizes internally. */
+  def componentLabels(s: SparkSession, pairs: RDD[(VertexId, VertexId)])
+      : (DataFrame, String) = {
     import s.implicits._
-    val cc = friendGraph(s, dataDir, egos, withEgoCenter = false)
-      .connectedComponents().vertices
-      .map { case (vid, lbl) => ((vid / Offset).toInt, lbl) }
-    cc.toDF("egoIdx", "lbl")
-      .groupBy("egoIdx", "lbl").agg(count(lit(1)).as("sz"))
-      .groupBy("egoIdx")
-      .agg(count(lit(1)).as("n_components"), max("sz").as("largest"))
-      .select(element_at(typedLit(egos), col("egoIdx") + 1).as("ego"),
-        col("n_components"), col("largest"))
-      .orderBy("ego")
+    val cached = pairs.cache()
+    val n = cached.count() // cheap: narrow over the caller's cache or this one
+    val (labels0, branch) =
+      if (n <= GraphxCcMaxPairs)
+        (Graph.fromEdgeTuples(cached, ())
+          .partitionBy(PartitionStrategy.EdgePartition2D)
+          .connectedComponents().vertices.toDF("id", "label"), "graphx")
+      else
+        (StarComponents.run(s, cached.toDF("u", "v")), "star")
+    val labels = labels0.cache()
+    labels.count()
+    cached.unpersist(blocking = false)
+    (labels, branch)
   }
 
-  /** (ego, n_components, largest) of the friend-only graph via
-    * STAR-CONTRACTION CC ([[StarComponents]]) — the log-round,
-    * diameter-independent relational path, oracled by the SAME DuckDB
-    * reachability closure as [[componentStats]] (g13 vs g08: the two CC
-    * implementations must agree under the driver's gate, the g07/g10
-    * dual-implementation discipline; at 1M nodes StarCcCheck showed 5
-    * rounds / 54 s vs GraphX label propagation's 608 s). */
-  def componentStatsStar(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
-    import s.implicits._
-    val pairs = compositeEdges(s, dataDir, egos, withEgoCenter = false).toDF("u", "v")
-    StarComponents.run(s, pairs)
+  /** (egoIdx-decoded) component stats from a composite-id label frame. */
+  private def componentStatsOf(labels: DataFrame, egos: Seq[String]): DataFrame =
+    labels
       .groupBy((col("id") / Offset).cast("int").as("egoIdx"), col("label"))
       .agg(count(lit(1)).as("sz"))
       .groupBy("egoIdx")
@@ -142,6 +163,33 @@ object GraphxAnalytics {
       .select(element_at(typedLit(egos), col("egoIdx") + 1).as("ego"),
         col("n_components"), col("largest"))
       .orderBy("ego")
+
+  /** (ego, n_components, largest) of the friend-only graph — the
+    * PRODUCTION CC entry, regime-routed via [[componentLabels]]: the
+    * ego fixtures take the GraphX branch, a ≥1M-pair graph takes star
+    * contraction (GraphScale's g08 phase asserts it did). */
+  def componentStats(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
+    val pairs = compositeEdges(s, dataDir, egos, withEgoCenter = false)
+    val (labels, _) = componentLabels(s, pairs)
+    componentStatsOf(labels, egos)
+  }
+
+  /** (ego, n_components, largest) of the friend-only graph via
+    * STAR-CONTRACTION CC ([[StarComponents]]) UNCONDITIONALLY — the
+    * log-round, diameter-independent relational path, oracled by the
+    * SAME DuckDB reachability closure as [[componentStats]] (g13 vs g08:
+    * the two CC implementations must agree under the driver's gate, the
+    * g07/g10 dual-implementation discipline; at 1M nodes StarCcCheck
+    * showed 5 rounds / 47 s vs GraphX label propagation's 608 s). The
+    * ~2 s toy wall this entry pays at ego scale is per-round scheduler
+    * cost (two localCheckpoints + a probe action per round on KB-sized
+    * data), not data volume — it is the price of keeping the at-scale
+    * shape exercised under the oracle gate every round; the routed g08
+    * entry is what production callers get at this size. */
+  def componentStatsStar(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
+    import s.implicits._
+    val pairs = compositeEdges(s, dataDir, egos, withEgoCenter = false).toDF("u", "v")
+    componentStatsOf(StarComponents.run(s, pairs), egos)
   }
 
   /** (name, rank) — personalized PageRank on one ego's friend-only graph
@@ -232,7 +280,9 @@ object GraphxAnalytics {
     *         `unpersist()` the graph; none touch edges. */
   private def iterateFixed(g0: Graph[Unit, Int], iters: Int,
       reset: VertexId => Long, init: VertexId => Long,
-      scale: Long = RankScale): Graph[(Long, Long), Int] = {
+      scale: Long = RankScale,
+      fields: org.apache.spark.graphx.TripletFields = org.apache.spark.graphx.TripletFields.Src)
+      : Graph[(Long, Long), Int] = {
     val rg0: Graph[(Long, Long), Int] = g0.outerJoinVertices(g0.outDegrees) {
       (vid, _, d) => (math.max(d.getOrElse(0).toLong, 1L), init(vid))
     }.cache()
@@ -241,6 +291,14 @@ object GraphxAnalytics {
     val nodes = rg0.vertices.count()
     requireFixedPointBounds(nodes, scale)
     if (iters <= 0) return rg0
+    // `send` reads ONLY srcAttr, so the per-round vertex ship into the
+    // edge partitions is declared TripletFields.Src: GraphX's
+    // ReplicatedVertexView then ships each round's updated (deg, rank)
+    // to the src-replica positions only, instead of src AND dst — the
+    // same declaration staticPageRank makes. Bit-identical results (the
+    // declaration only bounds what is shipped); the A/B knob `fields`
+    // exists solely for tools.PagerankAb to measure the ship saving
+    // same-JVM at 1M nodes.
     val send = (ctx: org.apache.spark.graphx.EdgeContext[(Long, Long), Int, Long]) =>
       ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1)
     if (nodes <= LazyChainMaxNodes) {
@@ -251,7 +309,7 @@ object GraphxAnalytics {
       var rg = rg0
       var i = 0
       while (i < iters) {
-        val msgs = rg.aggregateMessages[Long](send, _ + _)
+        val msgs = rg.aggregateMessages[Long](send, _ + _, fields)
         rg = rg.outerJoinVertices(msgs) { case (vid, (d, _), m) =>
           (d, reset(vid) + 85L * m.getOrElse(0L) / 100L)
         }
@@ -264,7 +322,7 @@ object GraphxAnalytics {
       rg
     } else {
       var rg = rg0
-      var msgs = rg.aggregateMessages[Long](send, _ + _).cache()
+      var msgs = rg.aggregateMessages[Long](send, _ + _, fields).cache()
       msgs.count() // forces + caches rg's edges before the first join
       var i = 0
       while (i < iters) {
@@ -276,7 +334,7 @@ object GraphxAnalytics {
         if (i + 1 < iters) {
           // Next round's messages force + cache the new graph's edge view
           // (derived from prev's edge partitions) before prev is released.
-          msgs = rg.aggregateMessages[Long](send, _ + _).cache()
+          msgs = rg.aggregateMessages[Long](send, _ + _, fields).cache()
           msgs.count()
         } else {
           rg.vertices.count() // final round: callers read vertices only
@@ -351,12 +409,24 @@ object GraphxAnalytics {
     * scale = 1e10 (rank_fp = rank·1e10). Returns (id, rank_fp),
     * materialized; the iteration graph is released before returning. */
   def pagerankFixedEdges(s: SparkSession, edges: RDD[(VertexId, VertexId)],
-      iters: Int, scale: Long): DataFrame = {
+      iters: Int, scale: Long): DataFrame =
+    pagerankFixedEdges(s, edges, iters, scale,
+      org.apache.spark.graphx.TripletFields.Src)
+
+  /** [[pagerankFixedEdges]] with the vertex-ship declaration explicit —
+    * the A/B knob for tools.PagerankAb (TripletFields.All is the pre-r15
+    * shape: it shipped each round's ranks to BOTH replica sides of every
+    * edge partition when `send` only reads the src side). Results are
+    * bit-identical across `fields` values by construction. */
+  private[graft] def pagerankFixedEdges(s: SparkSession,
+      edges: RDD[(VertexId, VertexId)], iters: Int, scale: Long,
+      fields: org.apache.spark.graphx.TripletFields): DataFrame = {
     import s.implicits._
     val g = Graph.fromEdgeTuples(edges, ())
       .partitionBy(PartitionStrategy.EdgePartition2D)
     val rg = iterateFixed(g, iters,
-      reset = _ => 15L * scale / 100L, init = _ => scale, scale = scale)
+      reset = _ => 15L * scale / 100L, init = _ => scale, scale = scale,
+      fields = fields)
     val out = rg.vertices.map { case (vid, (_, r)) => (vid, r) }
       .toDF("id", "rank_fp").cache()
     out.count()

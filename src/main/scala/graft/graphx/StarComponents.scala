@@ -50,6 +50,16 @@ import org.apache.spark.sql.functions._
   */
 object StarComponents {
 
+  /** Drop the cached blocks behind a localCheckpointed frame (the
+    * materialize-then-release Pregel/kcore discipline, ADVICE r14: the
+    * loop previously accumulated up to maxRounds edge-list snapshots in
+    * block storage). Only safe once nothing will read the frame again —
+    * a localCheckpoint has no lineage to recompute from. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   /** (id, label) for every vertex of `pairs` — one row per distinct
     * endpoint; label = component-min vertex id (bit-identical to GraphX
     * connectedComponents on the same pairs). `pairs` columns: (u, v),
@@ -106,6 +116,13 @@ object StarComponents {
         converged = next.join(e, Seq("u", "v"), "left_anti").isEmpty
       }
       prevProbe = probe
+      // `next` is materialized (eager localCheckpoint) and the
+      // convergence join above was the last read of the prior round —
+      // release its checkpoint blocks before reassigning, so the loop
+      // holds at most two snapshots at any time instead of one per
+      // round (ADVICE r14). The INITIAL e shares no blocks with
+      // `vertices`, which stays checkpointed for the label read-off.
+      releaseCheckpoint(e)
       e = next
       r += 1
     }

@@ -36,10 +36,17 @@ object GraphAnalytics {
     * while the keep set is node-count-sized forever. `dead` is cached and
     * counted before the joins, so its in-memory stats let Spark broadcast
     * it: the big adjacency is never shuffled by the joins — each round
-    * costs ONE shuffle (the degree hash-agg) instead of the three the
-    * semi-join form paid (measured at a 1M-node/44.6M-edge derived graph:
-    * the r13 g11 wall was 534 s, dominated by the two per-round SMJ
-    * shuffles of the full edge list; see GRAPH_SCALE_r14). The count
+    * costs ONE full-volume exchange (the degree hash-agg) instead of the
+    * three the semi-join form paid (AQE-final plans probed at a
+    * 1M-node/44.6M-edge derived graph: the keep semi-joins stay SMJ —
+    * the keep set exceeds the broadcast threshold — while the dead
+    * anti-joins broadcast; see GRAPH_SCALE_r14 kcore_plan_probe). The
+    * exchange-count reduction is the CLUSTER claim, where exchanges are
+    * network-bound; on local[32] the two forms are WALL-EQUIVALENT (two
+    * same-JVM KcoreAb A/B sessions, 8 samples: each arm spreads ~2.5-3×
+    * within a JVM and the best-draw ordering flips between sessions —
+    * local exchanges run at memory speed, so never claim a local wall
+    * win for this class without a repeated same-JVM A/B). The count
     * doubles as the fixpoint test: an empty dead set exits BEFORE the
     * no-op rewrite. Each round localCheckpoints: the iterate stays
     * shallow instead of stacking `rounds` of join lineage (the q97

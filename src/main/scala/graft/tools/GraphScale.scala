@@ -3,7 +3,7 @@ package graft.tools
 import graft.Sessions
 import graft.graphx.{GraphxAnalytics, StressCentrality}
 import graft.snap.GraphSuite
-import org.apache.spark.graphx.{Graph, PartitionStrategy, VertexId}
+import org.apache.spark.graphx.VertexId
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.functions._
 
@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   *
   * Timed (wall) on the derived graph: g08 connected components, g09
   * fixed-point PageRank, g12 fixed-point PPR, g11 k-core peel, and the
-  * Brandes source-batched stress centrality over `batches` source
-  * batches (per-batch AND per-forward-BFS-round walls recorded — flat
+  * Brandes source-batched stress centrality over ~`targetBatches`
+  * source batches (per-batch AND per-forward-BFS-round walls recorded — flat
   * per-batch walls are the no-cross-batch-accumulation evidence of r13
   * verdict item 3; per-round walls are the depth-scaling evidence of
   * item 4).
@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   *    deterministic per-round result; the checker replays the same
   *    rounds (same early exit) and compares the surviving node set.
   *
-  * Usage: GraphScale <outDir> [copies=250] [iters=10] [topology=tree] [batches=4]
+  * Usage: GraphScale <outDir> [copies=250] [iters=10] [topology=tree] [targetBatches=4]
   * Writes <outDir>/{edges,pagerank,ppr,cc,kcore}.parquet +
   * <outDir>/graph_scale_raw.json.
   */
@@ -98,7 +98,12 @@ object GraphScale {
     val copies = if (args.length > 1) args(1).toInt else 250
     val iters = if (args.length > 2) args(2).toInt else 10
     val topology = if (args.length > 3) args(3) else "tree"
-    val batches = if (args.length > 4) args(4).toInt else 4
+    // TARGET batch count: it sizes the deterministic source SAMPLE to
+    // ~32·targetBatches vertices (hash-mod), so the executed batch count
+    // (recorded as facts("stress_batches")) tracks it but is not exact —
+    // the sample is pseudo-random (ADVICE r14: the old name `batches`
+    // implied an exact count it never guaranteed).
+    val targetBatches = if (args.length > 4) args(4).toInt else 4
     require(topology == "tree" || topology == "chain",
       s"topology must be tree|chain, got $topology")
     val spark = Sessions.local("graft-graph-scale")
@@ -133,25 +138,27 @@ object GraphScale {
     phase("g08_cc")
 
     // ---- g08 at scale: connected components ------------------------------
-    // ONE tuple per undirected pair (a cheap narrow filter over the cached
-    // symmetric closure): GraphX CC propagates the min label along BOTH
-    // triplet directions of every edge, so the second direction is pure
-    // duplicate per-round volume — labels at the fixpoint are identical
-    // (component-min ids) and the halved edge set halves each round's
-    // aggregateMessages work (r13 ran CC on the full closure: 586 s; see
-    // GRAPH_SCALE_r14 for the halved wall). The timed window is the CC
-    // run + label materialization; stats and the dump are outside it.
-    val (ccLabels, tCc) = timed {
-      val g = Graph.fromEdgeTuples(directed.filter(t => t._1 < t._2), ())
-        .partitionBy(PartitionStrategy.EdgePartition2D)
-      val labels = g.connectedComponents().vertices.cache()
-      labels.count()
-      labels
+    // The PRODUCTION regime-routed entry (GraphxAnalytics.componentLabels):
+    // at this volume it must take the star-contraction branch — asserted
+    // below, the r14 verdict's routing evidence. One tuple per undirected
+    // pair (a cheap narrow filter over the cached symmetric closure)
+    // suffices on both branches; labels at the fixpoint are identical
+    // component-min ids either way, so the DuckDB min-label replay in
+    // tools/graph_scale_check.py verifies this dump unchanged. The timed
+    // window is the routed CC run + label materialization (the pair RDD
+    // is cached and counted outside it); stats and the dump are outside.
+    val ccPairs = directed.filter(t => t._1 < t._2).cache()
+    val nPairs = ccPairs.count()
+    val ((ccLabels, ccBranch), tCc) = timed {
+      GraphxAnalytics.componentLabels(spark, ccPairs)
     }
     walls("g08_cc") = tCc
-    val sizes = ccLabels.map { case (_, lbl) => (lbl, 1L) }.reduceByKey(_ + _).cache()
-    val (nComp, largest) = (sizes.count(), sizes.values.max())
-    sizes.unpersist(blocking = false)
+    require(nPairs <= GraphxAnalytics.GraphxCcMaxPairs || ccBranch == "star",
+      s"$nPairs pairs must route to the star branch (took $ccBranch)")
+    System.err.println(s"[graph-scale] g08 CC branch: $ccBranch ($nPairs pairs)")
+    val ccSizes = ccLabels.groupBy("label").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n"), max("sz").as("mx")).head()
+    val (nComp, largest) = (ccSizes.getLong(0), ccSizes.getLong(1))
     facts("cc_components") = nComp
     facts("cc_largest") = largest
     // Fast in-run sanity gate (construction invariant: the cross-links
@@ -159,7 +166,9 @@ object GraphScale {
     // min-label replay in tools/graph_scale_check.py over this dump.
     require(nComp == 1L && largest == nNodes,
       s"derived graph must be one component of $nNodes (got $nComp components, largest $largest)")
-    ccLabels.toDF("id", "label").write.mode("overwrite").parquet(s"$outDir/cc.parquet")
+    ccLabels.write.mode("overwrite").parquet(s"$outDir/cc.parquet")
+    // componentLabels released the pair cache itself; only the label
+    // frame is ours to drop.
     ccLabels.unpersist(blocking = false)
 
     // ---- g09 at scale: fixed-point PageRank (verifiable) -----------------
@@ -207,8 +216,8 @@ object GraphScale {
     walls("g11_kcore") = tKcore
     kcoreDf.select(col("node")).write.mode("overwrite").parquet(s"$outDir/kcore.parquet")
 
-    // ---- Brandes batched stress: `batches` source batches -----------------
-    // Deterministic pseudo-random ~32·batches sources (hash-mod sized to
+    // ---- Brandes batched stress: ~targetBatches source batches ------------
+    // Deterministic pseudo-random ~32·targetBatches sources (hash-mod sized to
     // the derived node count), batchSize 32: each batch is a full forward
     // multi-source BFS + the backward ψ sweep over the whole graph with
     // O(batch) per-vertex state. A full all-sources run is nodes/batch
@@ -227,7 +236,7 @@ object GraphScale {
     // 64 sources and its forward rounds grew 16→55 min at 32 — the
     // measurement that forced the packed rewrite.
     phase("stress_batched")
-    val srcMod = math.max(1L, nNodes / (32L * batches))
+    val srcMod = math.max(1L, nNodes / (32L * targetBatches))
     val countable = (vid: VertexId) => (vid * 2654435761L % srcMod) == 0L
     val stressPhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val (stressRows, tStress) = timed {
@@ -250,7 +259,7 @@ object GraphScale {
     val heapMax = Runtime.getRuntime.maxMemory() / (1L << 20)
     def fmt(d: Double) = "%.2f".format(d)
     val json =
-      s"""{"metric":"graph_scale","topology":"$topology","copies":$copies,"iters":$iters,"scale_fp":$ScaleAt1M,""" +
+      s"""{"metric":"graph_scale","topology":"$topology","copies":$copies,"iters":$iters,"scale_fp":$ScaleAt1M,"cc_branch":"$ccBranch",""" +
         s""""heap_mb":$heapMax,"cpus":${Runtime.getRuntime.availableProcessors},""" +
         facts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("", ",", ",") +
         s""""walls_sec":${walls.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +

@@ -108,6 +108,33 @@ class DedupSpec extends SparkSuite {
     assert(clusters.head.getAs[Long]("n_members") == 3L)
   }
 
+  test("dedup clusters: depth-20 planted chain (pair graph = a 19-hop path) collapses to one cluster") {
+    import spark.implicits._
+    // 20 sliding 12-token windows at step 2 over w1..w50: adjacent docs
+    // share 10/14 tokens (J ≈ 0.714, inside the 0.3-distance threshold),
+    // docs two apart share 8/16 (J = 0.5, outside) — so the pair graph is
+    // EXACTLY a path of 19 hops. This is the long-dedup-family shape the
+    // star-contraction cluster step exists for: GraphX label propagation
+    // would pay one synchronized Pregel round per hop here (the r14 chain
+    // fixture measured a 63-round fixpoint at scale), star contraction
+    // stays logarithmic in component size.
+    val words = (1 to 50).map(i => s"w$i")
+    val docs = (0 until 20).map { k =>
+      (300L + k, words.slice(2 * k, 2 * k + 12))
+    }.toDF("doc_id", "toks")
+
+    val pairs = DedupSuite.minhashPairs(spark, sf, 0.3, docs = docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val path = (0 until 19).map(k => (300L + k, 301L + k)).toSet
+    assert(pairs == path,
+      s"pair graph must be exactly the 19-hop path; extra=${pairs -- path} missing=${path -- pairs}")
+
+    val clusters = DedupSuite.dedupClusters(spark, sf, 0.3, docs = docs).collect()
+    assert(clusters.length == 1, s"expected one cluster, got ${clusters.toSeq}")
+    assert(clusters.head.getAs[Long]("keep_id") == 300L)
+    assert(clusters.head.getAs[Long]("n_members") == 20L)
+  }
+
   test("dedup clusters: disjoint docs produce zero clusters, not a crash") {
     import spark.implicits._
     // Token sets with no overlap at all: the LSH join yields no pairs,

@@ -134,11 +134,13 @@ class GraphxAnalyticsSpec extends SparkSuite {
   }
 
   test("fixed-point magnitude guard fires before silent Long overflow (r11 verdict item 4)") {
-    // The CLAUDE.md invariant ("drop a RankScale digit per 10× node
-    // count") is now an enforced require, not prose: 85·n·scale must fit
-    // in a Long with margin (checked as 100·n·scale). The boundary holds,
-    // one node past it throws — so a 1e9-node graph at the default scale
-    // fails fast instead of overflowing mid-iteration.
+    // The fixed-point magnitude rule — total rank mass ≤ n·scale, the
+    // update multiplies by 85, so 85·n·scale must fit in a Long with
+    // margin (checked as 100·n·scale); each dropped RankScale digit
+    // re-admits a 10× larger graph — is an enforced require, not prose.
+    // The boundary holds, one node past it throws — so a 1e9-node graph
+    // at the default scale fails fast instead of overflowing
+    // mid-iteration.
     val maxNodes = Long.MaxValue / 100L / GraphxAnalytics.RankScale
     GraphxAnalytics.requireFixedPointBounds(maxNodes) // boundary passes
     val e = intercept[IllegalArgumentException] {

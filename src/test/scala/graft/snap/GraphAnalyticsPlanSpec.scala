@@ -4,12 +4,14 @@ import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
 /** Plan-shape pin for the k-core peel round (r14): the peel's scale
-  * contract is ONE shuffle per round (the degree hash-agg) with the
-  * small dead set broadcast into two anti-joins — the r13 form
+  * contract is ONE full-volume exchange per round (the degree hash-agg)
+  * with the small dead set broadcast into two anti-joins — the r13 form
   * semi-joined the node-count-sized keep set instead and paid two extra
-  * full-adjacency shuffles per round (measured at 534 s for 8 rounds on
-  * a 1M-node/44.6M-edge derived graph). A regression back to shuffled
-  * peel joins should fail here, not in the hour-long GraphScale run. */
+  * full-adjacency SMJ exchanges per round (AQE-final plans probed at a
+  * 1M-node/44.6M-edge derived graph; local walls are host-variance-
+  * equivalent per the KcoreAb same-JVM A/B — the exchange count is the
+  * cluster-posture claim). A regression back to shuffled peel joins
+  * should fail here, not in the hour-long GraphScale run. */
 class GraphAnalyticsPlanSpec extends SparkSuite {
 
   test("k-core peel round: dead set broadcast-anti-joined, adjacency never join-shuffled") {
@@ -22,10 +24,14 @@ class GraphAnalyticsPlanSpec extends SparkSuite {
       .localCheckpoint()
     val (dead, nDead, next) = GraphAnalytics.peelRound(adj, k = 4)
     assert(nDead > 0, "fixture must peel something or the plan under test is empty-side trivial")
-    // Execute as production does (kcore checkpoints the round), then
-    // inspect the FINAL plan (AQE may rewrite the initial one).
-    next.count()
-    val p = next.queryExecution.executedPlan.toString
+    // Execute through the Dataset's OWN QueryExecution (toRdd) so the
+    // AdaptiveSparkPlan finalizes in place — a count() action plans a
+    // SEPARATE execution and would leave this one's executedPlan at the
+    // never-run INITIAL plan (ADVICE r14; KcoreAb's planOnly path is the
+    // reference pattern). The inspected plan is now genuinely AQE-final.
+    val qe = next.queryExecution
+    qe.toRdd.count()
+    val p = qe.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"dead set must broadcast into anti-joins:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),

@@ -68,9 +68,16 @@ def compare(con, edges, ranks, iters, scale, reset_sql, init_sql, id_col):
 def cc_check(con, edges, labels):
     """Min-label propagation to the fixpoint (Python-side loop — each
     round is one SQL pass; early exit when no label changes), then a
-    per-vertex FULL JOIN against the engine's dumped labels. Returns
+    per-vertex FULL JOIN against the engine's dumped labels. The
+    propagation table is the SYMMETRIC closure of the dump (UNION of
+    both orientations — a set, so a dump that is already symmetric is
+    unchanged), making the u→v min-label pass correct on ANY edge list,
+    not just GraphScale's symmetric dumps (ADVICE r14: the one-direction
+    form computed directed-reachability minima on asymmetric input —
+    fail-safe, but the reusability claim was wrong). Returns
     (mismatches, rounds_to_fixpoint)."""
-    con.execute(f"CREATE OR REPLACE TABLE cc_dir AS SELECT u, v FROM '{edges}'")
+    con.execute(f"CREATE OR REPLACE TABLE cc_dir AS SELECT u, v FROM '{edges}' "
+                f"UNION SELECT v, u FROM '{edges}'")
     con.execute("CREATE OR REPLACE TABLE cc_lbl AS "
                 "SELECT v, v AS l FROM (SELECT DISTINCT u AS v FROM cc_dir "
                 "UNION SELECT DISTINCT v FROM cc_dir)")

@@ -11,6 +11,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -42,6 +43,22 @@ else:
     ]
     rnd = max(rounds) + 1 if rounds else 1
 
+# Freshness (r14 verdict item 3: the r14 stamp predated a later
+# source-touching commit): a green log must postdate the last commit that
+# touched src/ or tools/, or it certifies a tree that no longer exists.
+# (Uncommitted working-tree edits are still the operator's responsibility —
+# git can't date those; the commit workflow runs the suite before pushing.)
+last_src_commit = int(
+    subprocess.check_output(
+        ["git", "-C", repo, "log", "-1", "--format=%ct", "--", "src", "tools"]
+    ).strip() or b"0"
+)
+if int(os.path.getmtime(log)) < last_src_commit:
+    sys.exit(
+        f"stale test log: {log} (mtime {int(os.path.getmtime(log))}) predates "
+        f"the last src/tools commit ({last_src_commit}) — re-run sbt test at HEAD"
+    )
+
 out = os.path.join(repo, f"TESTS_r{rnd:02d}.json")
 stamp = {
     "suites_completed": completed,
@@ -53,6 +70,7 @@ stamp = {
     "green": failed == 0 and aborted == 0 and canceled == 0,
     "log": log,
     "log_mtime": int(os.path.getmtime(log)),
+    "last_src_commit_time": last_src_commit,
 }
 json.dump(stamp, open(out, "w"), indent=1)
 print(out, json.dumps(stamp))
