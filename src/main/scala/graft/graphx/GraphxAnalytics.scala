@@ -134,11 +134,18 @@ object GraphxAnalytics {
     * behavior-invisible — only the round/shuffle shape changes. One
     * tuple per undirected pair suffices on both branches: GraphX CC
     * propagates min labels along BOTH triplet directions, and star
-    * contraction symmetrizes internally. */
+    * contraction symmetrizes internally.
+    *
+    * Input cache contract (ADVICE r15): an UNPERSISTED `pairs` is cached
+    * here for the route count + the CC passes and released before
+    * returning; a pair RDD the CALLER already persisted is left exactly
+    * as it was (previously it was silently unpersisted, stealing the
+    * caller's cache). */
   def componentLabels(s: SparkSession, pairs: RDD[(VertexId, VertexId)])
       : (DataFrame, String) = {
     import s.implicits._
-    val cached = pairs.cache()
+    val callerCached = pairs.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) pairs else pairs.cache()
     val n = cached.count() // cheap: narrow over the caller's cache or this one
     val (labels0, branch) =
       if (n <= GraphxCcMaxPairs)
@@ -149,7 +156,7 @@ object GraphxAnalytics {
         (StarComponents.run(s, cached.toDF("u", "v")), "star")
     val labels = labels0.cache()
     labels.count()
-    cached.unpersist(blocking = false)
+    if (!callerCached) cached.unpersist(blocking = false)
     (labels, branch)
   }
 

@@ -167,8 +167,9 @@ object GraphScale {
     require(nComp == 1L && largest == nNodes,
       s"derived graph must be one component of $nNodes (got $nComp components, largest $largest)")
     ccLabels.write.mode("overwrite").parquet(s"$outDir/cc.parquet")
-    // componentLabels released the pair cache itself; only the label
-    // frame is ours to drop.
+    // We cached ccPairs, so per the componentLabels input contract
+    // (caller-persisted inputs are left untouched) both drops are ours.
+    ccPairs.unpersist(blocking = false)
     ccLabels.unpersist(blocking = false)
 
     // ---- g09 at scale: fixed-point PageRank (verifiable) -----------------

@@ -58,10 +58,14 @@ object PagerankAb {
       (cks, wall)
     }
 
-    // Alternate old (All)/new (Src) twice each: position effects (JIT,
-    // cache decay, ambient load drift) hit both arms symmetrically.
+    // Mirrored order All,Src,Src,All (ADVICE r15): a strict alternation
+    // starting with All put the process-global first-draw cost (JIT,
+    // page-cache fill) on the All arm's first sample every session,
+    // biasing the per-arm MEDIANS (min-over-min was already robust —
+    // each arm's best draw is a warm one). The palindrome gives both
+    // arms one early and one late position within the session.
     val o1 = run(TripletFields.All); val n1 = run(TripletFields.Src)
-    val o2 = run(TripletFields.All); val n2 = run(TripletFields.Src)
+    val n2 = run(TripletFields.Src); val o2 = run(TripletFields.All)
     require(Set(o1._1, n1._1, o2._1, n2._1).size == 1,
       s"All/Src ranks must be bit-identical: checksums $o1 $n1 $o2 $n2")
 
