@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QuerySpec, Tables}
-import graft.graphx.StarComponents
+import graft.graphx.GraphxAnalytics
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -74,43 +74,51 @@ object DedupSuite {
     * pairs are fed to connected components (label = min member id) and
     * each component keeps its lowest doc_id.
     *
-    * The cluster step is STAR-CONTRACTION CC ([[graft.graphx.StarComponents]]),
-    * not GraphX label propagation (the pre-r15 form): long dedup families
-    * are chains by construction (A≈B≈…≈Z where only adjacent docs overlap
-    * enough to pair), and label propagation pays one synchronized round
-    * per hop of that chain — the r14 chain fixture measured a 63-round
-    * GraphX fixpoint where star contraction took 7. Labels are identical
-    * by construction (component-min ids), so the swap is
-    * behavior-preserving: DedupSpec's planted chains (incl. a depth-20
-    * path) and the RECALL family-collapse gates pin it.
+    * The cluster step is REGIME-ROUTED through
+    * [[graft.graphx.GraphxAnalytics.componentLabels]] (the r15 verdict's
+    * parked decision, made in r16): below GraphxCcMaxPairs the pair graph
+    * is KB-sized and GraphX label propagation costs milliseconds per
+    * round — even a worst-case dedup chain (A≈B≈…≈Z where only adjacent
+    * docs overlap enough to pair) is bounded there by the router's
+    * 25-round cap + star-contraction finish, so the r15 star-always form's
+    * ~+2.1 s of per-round scheduler cost at toy scale bought nothing.
+    * Above the volume threshold the router takes star contraction
+    * outright — the log-round, diameter-independent 100 TB shape — and
+    * g13 keeps the pure star path exercised under the oracle gate every
+    * round regardless. Labels are identical on every route (component-min
+    * ids): DedupSpec's planted chains (incl. a depth-20 path) and the
+    * RECALL family-collapse gates pin it.
     *
     * 100 TB shape: the edge list is the LSH bucket join's output (linear
-    * in candidate pairs, never all-pairs), the CC rounds are hash-agg +
-    * broadcast-join passes over a SHRINKING pair list with a round count
+    * in candidate pairs, never all-pairs), the at-volume CC rounds are
+    * hash-agg + join passes over a SHRINKING pair list with a round count
     * ~log(component size) regardless of chain depth, and the final
     * keep-list is one groupBy on the component label. */
   def dedupClusters(s: SparkSession, d: String, distThreshold: Double,
       docs: DataFrame = null): DataFrame = {
+    import s.implicits._
     val base = Option(docs).getOrElse(toks(s, d))
-    // Cached: StarComponents scans its input twice (initial edge list +
-    // the vertex capture), and the LSH bucket join upstream is the
-    // expensive part — without the cache it would run twice.
+    // componentLabels caches this RDD for its route count + CC passes
+    // (one LSH-join execution total) and releases it before returning.
     val pairs = minhashPairs(s, d, distThreshold, base)
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .cache()
+      .as[(Long, Long)].rdd
+    val (labels, _) = GraphxAnalytics.componentLabels(s, pairs)
     // The returned DataFrame is cached and eagerly materialized so the
-    // iterative lineage never re-executes (and the pair cache can be
-    // released here). Contract: callers holding it long-term may
-    // unpersist() it when done; otherwise Spark's ContextCleaner drops
-    // the (cluster-count-sized) cached blocks when the DataFrame's RDD
-    // is garbage-collected.
-    val out = StarComponents.run(s, pairs)
+    // iterative lineage never re-executes. This idiom is right HERE
+    // because the output is cluster-count-sized — do NOT copy it into an
+    // operator whose output is data-sized: a 100 TB keep-list must
+    // stream, not pin itself in block storage. Contract: callers holding
+    // it long-term may unpersist() it when done; otherwise Spark's
+    // ContextCleaner drops the cached blocks when the DataFrame's RDD is
+    // garbage-collected.
+    val out = labels
       .groupBy(col("label").as("cluster_id"))
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
       .cache()
     out.count()
-    pairs.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
     out
   }
 

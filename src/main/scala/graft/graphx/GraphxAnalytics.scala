@@ -114,16 +114,26 @@ object GraphxAnalytics {
     * [[LazyChainMaxNodes]] regime-split pattern applied to CC). Below it
     * GraphX's per-round constant is small and social-shaped fixtures
     * converge in ≤~11 rounds, while star contraction's relational rounds
-    * each pay two hash-aggs + joins + a localCheckpoint of scheduler
-    * overhead (~0.3-0.5 s on KB-sized data); above it the log-round,
+    * each pay hash-aggs + joins + a localCheckpoint of scheduler
+    * overhead (~0.2-0.5 s on KB-sized data); above it the log-round,
     * diameter-independent star shape wins — 13× at 22.3M pairs / 1M
     * nodes (47 s vs GraphX's 608 s, GRAPH_SCALE_r14), unboundedly more
-    * on long-diameter data. The threshold is VOLUME-based: a small but
-    * pathologically deep graph (a 100k-node path) would still be
-    * diameter-bound on the GraphX branch — callers that KNOW their
-    * pairs are chain-shaped (e.g. dedup families) should call
-    * [[StarComponents]] directly, as DedupSuite.dedupClusters does. */
+    * on long-diameter data. The threshold is VOLUME-based, so the
+    * GraphX branch additionally caps its rounds at [[GraphxCcMaxRounds]]
+    * and finishes any still-unconverged region on star contraction —
+    * a small-but-deep graph (a 100k-node path) is bounded-rounds here
+    * too, not diameter-bound (r15 verdict item 2). */
   private[graft] val GraphxCcMaxPairs = 1000000L
+
+  /** Round cap for the GraphX branch of [[componentLabels]]: label
+    * propagation pays one synchronized Pregel round per hop of component
+    * eccentricity, so an uncapped run on a small-but-deep graph (a
+    * 100k-node path is well under [[GraphxCcMaxPairs]]) would schedule
+    * one round per hop. Social-shaped fixtures converge in ≤~11 rounds,
+    * so 25 never triggers for them; a graph still unconverged at the cap
+    * has every label region already ≥cap hops wide, and the star finish
+    * runs on the CONTRACTED label graph, not the input. */
+  private[graft] val GraphxCcMaxRounds = 25
 
   /** (id, label = component-min vertex id) for an undirected pair RDD,
     * regime-routed per [[GraphxCcMaxPairs]]; returns the labels (cached
@@ -136,26 +146,63 @@ object GraphxAnalytics {
     * propagates min labels along BOTH triplet directions, and star
     * contraction symmetrizes internally.
     *
+    * Diameter robustness (r15 verdict item 2): the GraphX branch caps
+    * label propagation at [[GraphxCcMaxRounds]] Pregel rounds, then
+    * checks true convergence (every edge joins equal labels — one
+    * triplets pass). A still-unconverged graph finishes on star
+    * contraction over the LABEL GRAPH — the edges (label(u), label(v))
+    * of the unconverged regions. That composition is exact: after k
+    * capped rounds label(v) = min id within k hops, so every label is a
+    * vertex id of its own component, the component-min vertex m always
+    * keeps label m, label-graph connectivity equals component
+    * connectivity restricted to label values, and the star root of any
+    * label is therefore exactly m; labels in already-converged
+    * components never appear in the label graph and pass through
+    * unchanged. Branch tags: "graphx" (converged under the cap),
+    * "graphx+star" (cap hit, star finish), "star" (volume route).
+    *
     * Input cache contract (ADVICE r15): an UNPERSISTED `pairs` is cached
     * here for the route count + the CC passes and released before
     * returning; a pair RDD the CALLER already persisted is left exactly
     * as it was (previously it was silently unpersisted, stealing the
-    * caller's cache). */
+    * caller's cache). Note one side effect of the routing count: a
+    * caller-persisted-but-not-yet-materialized input pays its full
+    * lineage here, and that materialization lands in the CALLER's cache. */
   def componentLabels(s: SparkSession, pairs: RDD[(VertexId, VertexId)])
       : (DataFrame, String) = {
     import s.implicits._
     val callerCached = pairs.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
     val cached = if (callerCached) pairs else pairs.cache()
-    val n = cached.count() // cheap: narrow over the caller's cache or this one
-    val (labels0, branch) =
-      if (n <= GraphxCcMaxPairs)
-        (Graph.fromEdgeTuples(cached, ())
+    // Narrow over the caller's cache or this one (see the contract note
+    // above for the caller-persisted-but-unmaterialized case).
+    val n = cached.count()
+    val (labels0, branch, spill) =
+      if (n <= GraphxCcMaxPairs) {
+        val ccg = Graph.fromEdgeTuples(cached, ())
           .partitionBy(PartitionStrategy.EdgePartition2D)
-          .connectedComponents().vertices.toDF("id", "label"), "graphx")
-      else
-        (StarComponents.run(s, cached.toDF("u", "v")), "star")
+          .connectedComponents(GraphxCcMaxRounds)
+        val base = ccg.vertices.toDF("id", "label")
+        // Label-graph edges of any UNCONVERGED region: empty ⟺ the cap
+        // was enough (the usual case — social-shaped graphs converge in
+        // ≤~11 rounds); non-empty becomes the star finish's input, one
+        // edge per label-region boundary pair.
+        val labelEdges = ccg.triplets
+          .flatMap(t => if (t.srcAttr != t.dstAttr)
+            Iterator((t.srcAttr, t.dstAttr)) else Iterator.empty)
+          .cache()
+        if (labelEdges.isEmpty()) (base, "graphx", Some(labelEdges))
+        else {
+          val roots = StarComponents.run(s, labelEdges.toDF("u", "v"))
+            .select(col("id").as("lbl"), col("label").as("root"))
+          val composed = base.join(roots, base("label") === roots("lbl"), "left")
+            .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+          (composed, "graphx+star", Some(labelEdges))
+        }
+      } else
+        (StarComponents.run(s, cached.toDF("u", "v")), "star", None)
     val labels = labels0.cache()
     labels.count()
+    spill.foreach(_.unpersist(blocking = false))
     if (!callerCached) cached.unpersist(blocking = false)
     (labels, branch)
   }
@@ -188,11 +235,11 @@ object GraphxAnalytics {
     * the two CC implementations must agree under the driver's gate, the
     * g07/g10 dual-implementation discipline; at 1M nodes StarCcCheck
     * showed 5 rounds / 47 s vs GraphX label propagation's 608 s). The
-    * ~2 s toy wall this entry pays at ego scale is per-round scheduler
-    * cost (two localCheckpoints + a probe action per round on KB-sized
-    * data), not data volume — it is the price of keeping the at-scale
-    * shape exercised under the oracle gate every round; the routed g08
-    * entry is what production callers get at this size. */
+    * toy wall this entry pays at ego scale is per-round scheduler cost
+    * (one probe-materialized lazy checkpoint action per round on
+    * KB-sized data), not data volume — it is the price of keeping the
+    * at-scale shape exercised under the oracle gate every round; the
+    * routed g08 entry is what production callers get at this size. */
   def componentStatsStar(s: SparkSession, dataDir: String, egos: Seq[String]): DataFrame = {
     import s.implicits._
     val pairs = compositeEdges(s, dataDir, egos, withEgoCenter = false).toDF("u", "v")

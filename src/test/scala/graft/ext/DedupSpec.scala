@@ -114,10 +114,11 @@ class DedupSpec extends SparkSuite {
     // share 10/14 tokens (J ≈ 0.714, inside the 0.3-distance threshold),
     // docs two apart share 8/16 (J = 0.5, outside) — so the pair graph is
     // EXACTLY a path of 19 hops. This is the long-dedup-family shape the
-    // star-contraction cluster step exists for: GraphX label propagation
-    // would pay one synchronized Pregel round per hop here (the r14 chain
-    // fixture measured a 63-round fixpoint at scale), star contraction
-    // stays logarithmic in component size.
+    // cluster step's router must stay bounded on: at this KB volume
+    // componentLabels takes the GraphX branch, whose 25-round cap plus
+    // star-contraction finish bounds ANY chain depth (a 19-hop path
+    // converges under the cap; deeper families would finish on the
+    // contracted label graph) — GraphxAnalyticsSpec pins both regimes.
     val words = (1 to 50).map(i => s"w$i")
     val docs = (0 until 20).map { k =>
       (300L + k, words.slice(2 * k, 2 * k + 12))

@@ -101,6 +101,64 @@ class GraphxAnalyticsSpec extends SparkSuite {
     assert(cc("3980") > 1)
   }
 
+  test("componentLabels: ego-scale input takes the graphx branch and converges under the round cap") {
+    // The committed-branch fact for the SMALL regime (r15 verdict item 7
+    // stretch): GraphScale asserts the 1M-pair fixture routes to "star";
+    // this pins the other side — the social-shaped ego fixture converges
+    // within GraphxCcMaxRounds on plain GraphX label propagation, so the
+    // branch tag is "graphx" (no star finish) and the labels are the
+    // component-min ids.
+    val pairs = GraphxAnalytics.compositeEdges(spark, GraphSuite.dataDir,
+      Seq("348", "3980"), withEgoCenter = false)
+    val (labels, branch) = GraphxAnalytics.componentLabels(spark, pairs)
+    assert(branch == "graphx", s"ego fixture took branch $branch")
+    val rows = labels.collect() // bounded-collect: test-sized graphs
+    assert(rows.nonEmpty)
+    // Spot invariant: every label is the min id of its label class.
+    val byLabel = rows.groupBy(_.getLong(1))
+    byLabel.foreach { case (l, vs) =>
+      assert(vs.map(_.getLong(0)).min == l, s"label $l is not its class min")
+    }
+    labels.unpersist(blocking = false)
+  }
+
+  test("componentLabels: a 10k-node path (small volume, deep diameter) is bounded-rounds via the star finish") {
+    // r15 verdict item 2: the volume threshold alone misroutes a
+    // small-but-deep graph onto diameter-bound label propagation (one
+    // Pregel round per hop — ~10k rounds here). The router must instead
+    // cap the GraphX branch at GraphxCcMaxRounds and finish on star
+    // contraction over the contracted label graph, returning EXACT
+    // component-min labels (all 0 on a path) in seconds, not hours.
+    val sc = spark.sparkContext
+    val n = 10000L
+    val pairs = sc.parallelize(0L until n - 1, 2).map(i => (i, i + 1))
+    val (labels, branch) = GraphxAnalytics.componentLabels(spark, pairs)
+    assert(branch == "graphx+star", s"deep path took branch $branch")
+    val rows = labels.collect() // bounded-collect: test-sized graphs
+    assert(rows.length == n)
+    assert(rows.forall(_.getLong(1) == 0L),
+      s"path labels must all be the global min 0, got ${rows.filter(_.getLong(1) != 0L).take(3).mkString(",")}")
+    labels.unpersist(blocking = false)
+  }
+
+  test("componentLabels: multi-component graph mixing converged and unconverged regions composes exactly") {
+    // One deep path (hits the cap, needs the star finish) PLUS one small
+    // triangle and one isolated edge (converged well under the cap, so
+    // their labels must pass through the composition UNCHANGED — the
+    // left-join/coalesce leg).
+    val sc = spark.sparkContext
+    val path = (100000L until 101000L - 1).map(i => (i, i + 1))
+    val rest = Seq((5L, 6L), (6L, 7L), (7L, 5L), (20L, 21L))
+    val pairs = sc.parallelize(path ++ rest, 2)
+    val (labels, branch) = GraphxAnalytics.componentLabels(spark, pairs)
+    assert(branch == "graphx+star", s"took branch $branch")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // bounded-collect: test-sized graphs
+    assert((100000L until 101000L).forall(m(_) == 100000L))
+    assert(Seq(5L, 6L, 7L).forall(m(_) == 5L))
+    assert(m(20L) == 20L && m(21L) == 20L)
+    labels.unpersist(blocking = false)
+  }
+
   test("egoStress matches the closed form on the composite union graph") {
     val viaGraphx = GraphxAnalytics.egoStress(spark, GraphSuite.dataDir,
       Seq("3980", "698")).collect()

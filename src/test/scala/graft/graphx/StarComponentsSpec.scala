@@ -62,6 +62,36 @@ class StarComponentsSpec extends SparkSuite {
     assert(rounds <= 2)
   }
 
+  test("per-round job shape: window mins + observed-metrics probe (r16 constant cut)") {
+    // The per-round constant at toy scale is job-SCHEDULING cost (AQE
+    // materializes every exchange as its own stage job), so the r16
+    // round shape minimizes exchanges: per-vertex minima as WINDOW
+    // aggregates (no groupBy+join — one full-volume exchange per star),
+    // no mid-round distinct, and the probe riding the eager checkpoint's
+    // job as observed metrics instead of a separate re-scan. Measured on
+    // this fixture: 48 jobs / 10 rounds (~4.8 per round: two window
+    // stages + the distinct stage + the checkpoint final, plus entry/
+    // confirm constants); the pre-r16 groupBy+join+probe shape ran 94.
+    // Walls on this box swing ~2.5-3× with zero code change, so the JOB
+    // COUNT is the stable evidence; 6·rounds + 12 separates the shapes
+    // with margin on both sides (AQE bookkeeping drift should not trip
+    // it, a return of the join/probe passes will).
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val df = (0L until 512L).map(i => (i, i + 1)).toDF("u", "v")
+    val group = "star-round-shape-jobcount"
+    sc.setJobGroup(group, "spec", interruptOnCancel = false)
+    val rounds = try StarComponents.runWithRounds(spark, df)._2
+    finally sc.clearJobGroup()
+    def jobs(): Int = sc.statusTracker.getJobIdsForGroup(group).length
+    var (prev, cur, spins) = (-1, jobs(), 0)
+    while (cur != prev && spins < 50) { Thread.sleep(100); prev = cur; cur = jobs(); spins += 1 }
+    assert(cur > 0, "job-group tracking returned nothing — the test harness is broken")
+    assert(rounds >= 3, s"a 513-node path should need several rounds, got $rounds")
+    assert(cur <= 6 * rounds + 12,
+      s"star contraction scheduled $cur jobs for $rounds rounds — the r16 round-shape regressed")
+  }
+
   test("two isolated edges and a triangle: component minima as labels") {
     val pairs = Seq((10L, 11L), (20L, 21L), (5L, 6L), (6L, 7L), (7L, 5L))
     val (labels, _) = starLabels(pairs)
