@@ -30,6 +30,15 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // This VM guest freezes wholesale for minutes at a time under the
+      // hypervisor (dmesg: hrtimer interrupt overruns; observed driver
+      // heartbeat gaps of 373 s and 607 s during at-scale runs). The
+      // default 120 s network timeout then kills the local executor and
+      // the whole run. 900 s rides out those freezes; heartbeats still
+      // flow every 10 s (default), so a REAL hang is detected — just
+      // 15 min later, which on a single-JVM local box costs nothing (a
+      // dead JVM fails the run regardless of this timeout).
+      .config("spark.network.timeout", "900s")
       // mapKeyDedupPolicy stays at the EXCEPTION default: duplicate map
       // keys are bugs everywhere except the circle overlay, which spells
       // its overwrite semantics out explicitly (EgoGraphs.vertices).
