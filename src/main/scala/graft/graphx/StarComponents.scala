@@ -61,6 +61,28 @@ object StarComponents {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(false))
 
+  /** Execution stats for one [[runWithStats]] invocation: rounds run,
+    * the largest per-vertex window group observed across window-form
+    * rounds (0 if the input was already empty), and the 0-based round
+    * index from which the combiner-friendly groupBy+join fallback took
+    * over (-1 = never, the normal path). */
+  final case class StarStats(rounds: Int, maxGroup: Long, combinerFromRound: Int)
+
+  /** Window-group-size threshold above which subsequent rounds switch
+    * to the combiner-friendly groupBy+join round (r17: the r16 Scaladoc
+    * caveat turned into behavior). A window min has no map-side
+    * combine, so one vertex's whole neighborhood lands in a single
+    * task's sort — fine to ~1e7 rows (~240 MB of longs, seconds), a
+    * straggler-then-spill risk past it. Two ways to get there: an input
+    * super-hub, and — inherent to star contraction — the FIXPOINT
+    * MEGA-STAR: a giant component's root collects the whole component
+    * as direct children in the last rounds, so its group approaches the
+    * component size regardless of input degree structure. Group sizes
+    * are observed for free on every window round (metrics riding the
+    * materializing job, no extra action); crossing the threshold costs
+    * exactly one window round at the observed size before the switch. */
+  val DefaultSuperHubDegree = 10000000L
+
   /** (id, label) for every vertex of `pairs` — one row per distinct
     * endpoint; label = component-min vertex id (bit-identical to GraphX
     * connectedComponents on the same pairs). `pairs` columns: (u, v),
@@ -73,6 +95,17 @@ object StarComponents {
     * diameter), so the at-scale tool records it. */
   def runWithRounds(spark: SparkSession, pairs: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
+    val (labels, stats) = runWithStats(spark, pairs, maxRounds)
+    (labels, stats.rounds)
+  }
+
+  /** [[runWithRounds]] plus [[StarStats]] — `superHubDegree` is the
+    * guard threshold (tests pass a small value to force the fallback;
+    * production callers keep [[DefaultSuperHubDegree]]). Labels are
+    * bit-identical on every route: both round forms compute the same
+    * exact neighborhood minima. */
+  def runWithStats(spark: SparkSession, pairs: DataFrame, maxRounds: Int = 64,
+      superHubDegree: Long = DefaultSuperHubDegree): (DataFrame, StarStats) = {
     // The probe RIDES the eager checkpoint's materializing job as
     // observed metrics (CollectMetricsExec = accumulators, no exchange,
     // no extra plan node cost): one job materializes the round AND
@@ -110,37 +143,84 @@ object StarComponents {
     // groupBy+join cost two (agg + SMJ re-shuffle) or an agg + broadcast
     // build — fewer AQE stage jobs per round at toy scale (pinned in
     // StarComponentsSpec) and strictly fewer full-volume exchanges at
-    // 100 TB. Tradeoff stated honestly: a window min has no map-side
-    // combine, so a pathological super-hub (degree ≫ 1e7) serializes its
-    // partition into one task's sort — at that extreme the groupBy+join
-    // form (combiner-friendly) is the right variant; no fixture or
-    // realistic social/dedup graph in scope is within 100× of it.
+    // 100 TB. Tradeoff: a window min has no map-side combine, so a
+    // pathological super-hub group serializes into one task's sort — at
+    // that extreme the groupBy+join form (combiner-friendly) is the
+    // right variant, and since r17 the loop GUARDS it: window group
+    // sizes are observed on every round's materializing job and rounds
+    // switch to the fallback once one crosses `superHubDegree` (see
+    // DefaultSuperHubDegree — this also covers the fixpoint mega-star
+    // a giant component inherently becomes).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     var prevProbe = probe0
     var converged = prevProbe._1 == 0L
     var r = 0
+    var maxGroup = 0L
+    var combinerFrom = -1
     while (!converged && r < maxRounds) {
-      // ---- large-star ---------------------------------------------------
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      // No intermediate distinct on the large-star output: duplicates
-      // ((v,m) reached via two hooks) are bounded by the per-EDGE
-      // emission (≤ one row per symmetric entry with v > u, so ≤ |E|
-      // rows) and the round-final distinct removes them anyway — a
-      // mid-round dedup was a full extra exchange of the same volume
-      // every round at every scale (removed r16).
-      val large = sym
-        .select(col("u"), col("v"), least(min("v").over(w), col("u")).as("m"))
-        .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v"))
-      // ---- small-star ---------------------------------------------------
-      val (next, probe) = probed(large
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .select(col("u"), col("v"), min("v").over(w).as("m"))
-        .select(explode(array(col("v"), col("u"))).as("c"), col("m"))
-        .where(col("c") =!= col("m"))
-        .select(col("c").as("u"), col("m").as("v"))
-        .distinct())
+      val (next, probe) = if (combinerFrom >= 0) {
+        // ---- super-hub fallback round (combiner-friendly) ---------------
+        // groupBy+join per-vertex minima: partial aggregation combines
+        // map-side, so no single task ever holds a whole neighborhood —
+        // the right shape once a group crossed `superHubDegree` (see
+        // DefaultSuperHubDegree: input super-hubs AND the fixpoint
+        // mega-star of a giant component both land here). Costs more
+        // exchanges per round than the window form (agg + join-back per
+        // star + a mid-round distinct), which is why it is the guarded
+        // exception, not the default.
+        val mins = sym.groupBy("u").agg(min("v").as("m"))
+          .select(col("u"), least(col("m"), col("u")).as("m"))
+        val large = sym.join(mins, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .where(col("u") =!= col("v")).distinct()
+        val o = large
+          .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        val mins2 = o.groupBy("u").agg(min("v").as("m"))
+        probed(o.join(mins2, "u")
+          .select(explode(array(col("v"), col("u"))).as("c"), col("m"))
+          .where(col("c") =!= col("m"))
+          .select(col("c").as("u"), col("m").as("v"))
+          .distinct())
+      } else {
+        // ---- large-star (window form, the normal path) -------------------
+        // No intermediate distinct on the large-star output: duplicates
+        // ((v,m) reached via two hooks) are bounded by the per-EDGE
+        // emission (≤ one row per symmetric entry with v > u, so ≤ |E|
+        // rows) and the round-final distinct removes them anyway — a
+        // mid-round dedup was a full extra exchange of the same volume
+        // every round at every scale (removed r16). The `grp` column is
+        // the super-hub guard: count over the SAME window spec rides the
+        // min's WindowExec (same exchange, same sort), and the max is
+        // collected as observed metrics on the round's one materializing
+        // job — zero extra actions, zero extra exchanges (observed
+        // BEFORE the v > u filter so a neighborhood-max vertex still
+        // reports its group).
+        val largeObs = new org.apache.spark.sql.Observation()
+        val large = sym
+          .select(col("u"), col("v"), least(min("v").over(w), col("u")).as("m"),
+            count(lit(1)).over(w).as("grp"))
+          .observe(largeObs, coalesce(max("grp"), lit(0L)).as("maxgrp"))
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .where(col("u") =!= col("v"))
+        // ---- small-star ---------------------------------------------------
+        val smallObs = new org.apache.spark.sql.Observation()
+        val out = probed(large
+          .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+          .select(col("u"), col("v"), min("v").over(w).as("m"),
+            count(lit(1)).over(w).as("grp"))
+          .observe(smallObs, coalesce(max("grp"), lit(0L)).as("maxgrp"))
+          .select(explode(array(col("v"), col("u"))).as("c"), col("m"))
+          .where(col("c") =!= col("m"))
+          .select(col("c").as("u"), col("m").as("v"))
+          .distinct())
+        val (ml, ms) = (largeObs.get, smallObs.get)
+        val grp = math.max(ml("maxgrp").asInstanceOf[Long], ms("maxgrp").asInstanceOf[Long])
+        maxGroup = math.max(maxGroup, grp)
+        if (grp > superHubDegree) combinerFrom = r + 1
+        out
+      }
       if (probe == prevProbe) {
         // Exact confirmation: equal counts + empty one-direction
         // difference ⟹ equal sets (both sides are post-distinct).
@@ -162,6 +242,6 @@ object StarComponents {
     // vertex never appearing as a child) label themselves.
     val labels = vertices.join(e.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("label"))
-    (labels, r)
+    (labels, StarStats(r, maxGroup, combinerFrom))
   }
 }

@@ -106,7 +106,7 @@ object GraphScale {
     val targetBatches = if (args.length > 4) args(4).toInt else 4
     require(topology == "tree" || topology == "chain",
       s"topology must be tree|chain, got $topology")
-    val spark = Sessions.local("graft-graph-scale")
+    val spark = Sessions.local("graft-graph-scale", freezeTolerant = true)
     val sc = spark.sparkContext
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object IvfFrontier {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
-    val spark = Sessions.local("graft-ivf-frontier")
+    val spark = Sessions.local("graft-ivf-frontier", freezeTolerant = true)
     import spark.implicits._
     val k = 10
 

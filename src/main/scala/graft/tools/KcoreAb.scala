@@ -48,7 +48,7 @@ object KcoreAb {
     val dir = args(0)
     val outPath = args(1)
     val planOnly = args.length > 2 && args(2) == "plan"
-    val spark = Sessions.local("graft-kcore-ab")
+    val spark = Sessions.local("graft-kcore-ab", freezeTolerant = true)
     val sc = spark.sparkContext
     val parts = math.max(sc.defaultParallelism, 2)
 

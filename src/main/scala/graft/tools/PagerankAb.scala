@@ -50,7 +50,7 @@ object PagerankAb {
     val dir = args(0)
     val outPath = args(1)
     val iters = if (args.length > 2) args(2).toInt else 10
-    val spark = Sessions.local("graft-pagerank-ab")
+    val spark = Sessions.local("graft-pagerank-ab", freezeTolerant = true)
     val sc = spark.sparkContext
     import spark.implicits._
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object StarCcCheck {
   def main(args: Array[String]): Unit = {
     val Array(dir, outPath) = args
-    val spark = Sessions.local("graft-starcc")
+    val spark = Sessions.local("graft-starcc", freezeTolerant = true)
 
     val pairs = spark.read.parquet(s"$dir/edges.parquet")
       .where(col("u") < col("v")) // one row per undirected pair

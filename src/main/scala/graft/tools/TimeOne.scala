@@ -10,7 +10,7 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val runs = if (args.length > 1) args(1).toInt else 3
-    val spark = Sessions.local("graft-timeone")
+    val spark = Sessions.local("graft-timeone", freezeTolerant = true)
     args.headOption.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (0 to runs).map { _ =>

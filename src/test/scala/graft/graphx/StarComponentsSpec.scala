@@ -92,6 +92,90 @@ class StarComponentsSpec extends SparkSuite {
       s"star contraction scheduled $cur jobs for $rounds rounds — the r16 round-shape regressed")
   }
 
+  test("super-hub guard: mega-hub group trips the combiner fallback, labels identical") {
+    // r17 (verdict item 5): a window min has no map-side combine, so a
+    // group past `superHubDegree` must flip subsequent rounds to the
+    // groupBy+join form. Fixture: a degree-1000 hub (trips a small
+    // threshold on round 0) plus a 65-node chain grafted on so the run
+    // needs several MORE rounds — the fallback rounds actually execute
+    // and must converge to the same component-min labels (closed form:
+    // one component, min id 0).
+    import spark.implicits._
+    val spokes = (100L until 1100L).map(i => (10L, i))
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val df = ((10L, 0L) +: (spokes ++ chain)).toDF("u", "v")
+    val (labels, stats) = StarComponents.runWithStats(spark, df, superHubDegree = 100L)
+    val expect = ((0L to 64L) ++ Seq(10L) ++ (100L until 1100L)).map(_ -> 0L).toMap
+    assert(labels.as[(Long, Long)].collect().toMap == expect) // bounded-collect: test-sized graph
+    assert(stats.maxGroup > 100L, s"guard metric never saw the hub: $stats")
+    assert(stats.combinerFromRound >= 0, s"guard never fired: $stats")
+    assert(stats.rounds > stats.combinerFromRound,
+      s"fallback rounds must actually have run: $stats")
+    // The production threshold must NOT fire on the same input — the
+    // guard is for genuine super-hubs, not every well-connected vertex.
+    val (_, statsDefault) = StarComponents.runWithStats(spark, df)
+    assert(statsDefault.combinerFromRound == -1, s"default threshold fired: $statsDefault")
+  }
+
+  test("per-round exchange shape: window rounds shuffle exactly 3× (AQE-final plans)") {
+    // Version-robust form of the round-shape pin (r16 verdict item 6):
+    // the scheduler JOB count below encodes AQE's job accounting, which
+    // a Spark bump can shift; the cluster-posture claim is the SHUFFLE
+    // count — one full-volume exchange per star (the window) plus the
+    // round-final distinct = 3 per round, vs 5+ for the pre-r16
+    // groupBy+join shape (agg + join + mid-round distinct per star).
+    // Captured from the AQE-final physical plans of each round's
+    // materializing checkpoint via a QueryExecutionListener; round plans
+    // are the ones containing a Window (entry/vertex checkpoints have
+    // none). Reused exchanges count 0 — a reuse ships nothing new.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val rounds = try {
+      val df = (0L until 512L).map(i => (i, i + 1)).toDF("u", "v")
+      val r = StarComponents.runWithRounds(spark, df)._2
+      // The listener bus is async — poll until the capture count is
+      // stable (same idiom as the job-count test below).
+      var (prev, cur, spins) = (-1, captured.size, 0)
+      while (cur != prev && spins < 50) { Thread.sleep(100); prev = cur; cur = captured.size; spins += 1 }
+      r
+    } finally spark.listenerManager.unregister(listener)
+
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleQueryStageExec => s.plan match {
+        case _: ReusedExchangeExec => 0
+        case inner => 1 + shuffles(inner)
+      }
+      // Spark 4 wraps the AQE-final plan in ResultQueryStageExec (and
+      // materialized subtrees in other stage nodes) whose subtree hangs
+      // off .plan, not .children.
+      case s: QueryStageExec => shuffles(s.plan)
+      case other => other.children.map(shuffles).sum
+    }
+    import scala.jdk.CollectionConverters._
+    val roundPlans = captured.asScala.toList
+      .filter(qe => qe.analyzed.toString.contains("Window") &&
+        qe.analyzed.toString.contains("CollectMetrics"))
+    assert(roundPlans.nonEmpty, "listener captured no round materializations — harness broken")
+    assert(roundPlans.size >= rounds,
+      s"expected ≥ $rounds round plans, captured ${roundPlans.size}")
+    roundPlans.foreach { qe =>
+      val n = shuffles(qe.executedPlan)
+      assert(n == 3,
+        s"window round shuffled $n× (want 3: large-star window, small-star window, " +
+          s"round-final distinct) — the round shape regressed:\n${qe.executedPlan}")
+    }
+  }
+
   test("two isolated edges and a triangle: component minima as labels") {
     val pairs = Seq((10L, 11L), (20L, 21L), (5L, 6L), (6L, 7L), (7L, 5L))
     val (labels, _) = starLabels(pairs)
