@@ -170,13 +170,27 @@ object GraphxAnalytics {
     * lineage here, and that materialization lands in the CALLER's cache. */
   def componentLabels(s: SparkSession, pairs: RDD[(VertexId, VertexId)])
       : (DataFrame, String) = {
+    val (labels, branch, _) = componentLabelsWithStats(s, pairs)
+    (labels, branch)
+  }
+
+  /** [[componentLabels]] plus the [[StarComponents.StarStats]] of any
+    * star-contraction leg taken (None on the pure "graphx" branch) and
+    * a per-star-round wall callback passed through to
+    * [[StarComponents.runWithStats]] — the at-scale tools record star
+    * rounds / peak group / guard-trip index in their artifacts through
+    * this (r17 verdict item 7: the 1e7 super-hub threshold accumulates
+    * observed headroom data for free on every star-routed run). */
+  def componentLabelsWithStats(s: SparkSession, pairs: RDD[(VertexId, VertexId)],
+      onRound: (String, Double) => Unit = (_, _) => ())
+      : (DataFrame, String, Option[StarComponents.StarStats]) = {
     import s.implicits._
     val callerCached = pairs.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
     val cached = if (callerCached) pairs else pairs.cache()
     // Narrow over the caller's cache or this one (see the contract note
     // above for the caller-persisted-but-unmaterialized case).
     val n = cached.count()
-    val (labels0, branch, spill) =
+    val (labels0, branch, spill, stats) =
       if (n <= GraphxCcMaxPairs) {
         val ccg = Graph.fromEdgeTuples(cached, ())
           .partitionBy(PartitionStrategy.EdgePartition2D)
@@ -190,21 +204,26 @@ object GraphxAnalytics {
           .flatMap(t => if (t.srcAttr != t.dstAttr)
             Iterator((t.srcAttr, t.dstAttr)) else Iterator.empty)
           .cache()
-        if (labelEdges.isEmpty()) (base, "graphx", Some(labelEdges))
+        if (labelEdges.isEmpty()) (base, "graphx", Some(labelEdges), None)
         else {
-          val roots = StarComponents.run(s, labelEdges.toDF("u", "v"))
+          val (rootLabels, st) = StarComponents.runWithStats(
+            s, labelEdges.toDF("u", "v"), onRound = onRound)
+          val roots = rootLabels
             .select(col("id").as("lbl"), col("label").as("root"))
           val composed = base.join(roots, base("label") === roots("lbl"), "left")
             .select(col("id"), coalesce(col("root"), col("label")).as("label"))
-          (composed, "graphx+star", Some(labelEdges))
+          (composed, "graphx+star", Some(labelEdges), Some(st))
         }
-      } else
-        (StarComponents.run(s, cached.toDF("u", "v")), "star", None)
+      } else {
+        val (labels, st) = StarComponents.runWithStats(
+          s, cached.toDF("u", "v"), onRound = onRound)
+        (labels, "star", None, Some(st))
+      }
     val labels = labels0.cache()
     labels.count()
     spill.foreach(_.unpersist(blocking = false))
     if (!callerCached) cached.unpersist(blocking = false)
-    (labels, branch)
+    (labels, branch, stats)
   }
 
   /** (egoIdx-decoded) component stats from a composite-id label frame. */

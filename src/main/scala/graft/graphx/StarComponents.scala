@@ -62,26 +62,42 @@ object StarComponents {
     }.foreach(_.unpersist(false))
 
   /** Execution stats for one [[runWithStats]] invocation: rounds run,
-    * the largest per-vertex window group observed across window-form
-    * rounds (0 if the input was already empty), and the 0-based round
-    * index from which the combiner-friendly groupBy+join fallback took
-    * over (-1 = never, the normal path). */
+    * the largest per-vertex group observed across ALL rounds — window
+    * rounds report it via the count column riding the min's window,
+    * fallback rounds via a count riding each star's partial aggregate
+    * (r18, ADVICE r17: previously fallback rounds carried no group
+    * observation, so a guarded run reported the pre-switch maximum
+    * while the fixpoint mega-star kept growing past it; now maxGroup is
+    * the run's true peak, e.g. component size − 1 at the fixpoint) —
+    * and the 0-based round index from which the combiner-friendly
+    * groupBy+join fallback took over (-1 = never, the normal path). */
   final case class StarStats(rounds: Int, maxGroup: Long, combinerFromRound: Int)
 
-  /** Window-group-size threshold above which subsequent rounds switch
-    * to the combiner-friendly groupBy+join round (r17: the r16 Scaladoc
-    * caveat turned into behavior). A window min has no map-side
-    * combine, so one vertex's whole neighborhood lands in a single
-    * task's sort — fine to ~1e7 rows (~240 MB of longs, seconds), a
-    * straggler-then-spill risk past it. Two ways to get there: an input
-    * super-hub, and — inherent to star contraction — the FIXPOINT
-    * MEGA-STAR: a giant component's root collects the whole component
-    * as direct children in the last rounds, so its group approaches the
-    * component size regardless of input degree structure. Group sizes
-    * are observed for free on every window round (metrics riding the
-    * materializing job, no extra action); crossing the threshold costs
-    * exactly one window round at the observed size before the switch. */
+  /** DANGER group size for the window round: a window min has no
+    * map-side combine, so one vertex's whole neighborhood lands in a
+    * single task's sort — fine to ~1e7 rows (~240 MB of longs,
+    * seconds), a straggler-then-spill risk past it. Two ways to get
+    * there: an input super-hub, and — inherent to star contraction —
+    * the FIXPOINT MEGA-STAR: a giant component's root collects the
+    * whole component as direct children in the last rounds, so its
+    * group approaches the component size regardless of input degree
+    * structure. Group sizes are observed for free on every round
+    * (metrics riding the materializing job, no extra action). */
   val DefaultSuperHubDegree = 10000000L
+
+  /** Margin divisor for the guard trip: rounds switch to the fallback
+    * once a group exceeds `superHubDegree / SuperHubMargin`, NOT the
+    * danger size itself (r18, ADVICE r17). The guard is reactive — the
+    * round that DETECTS a crossing has already sorted that group in one
+    * task — and star sizes grow multiplicatively per round, so a trip
+    * AT the danger size could mean the detection round itself ran at
+    * many times it. Tripping a 10× margin below keeps the worst
+    * detected window group around the danger size even under a 10×
+    * per-round jump; an INPUT super-hub above the margin still pays its
+    * one detection round at full size (measured: tools.SuperHubScale
+    * crosses the guard with a ~2e7-spoke hub and records that round's
+    * wall), which no reactive guard can avoid without a pre-pass. */
+  val SuperHubMargin = 10L
 
   /** (id, label) for every vertex of `pairs` — one row per distinct
     * endpoint; label = component-min vertex id (bit-identical to GraphX
@@ -100,12 +116,16 @@ object StarComponents {
   }
 
   /** [[runWithRounds]] plus [[StarStats]] — `superHubDegree` is the
-    * guard threshold (tests pass a small value to force the fallback;
-    * production callers keep [[DefaultSuperHubDegree]]). Labels are
-    * bit-identical on every route: both round forms compute the same
-    * exact neighborhood minima. */
+    * guard DANGER size (the trip fires a [[SuperHubMargin]] below it;
+    * tests pass a small value to force the fallback; production callers
+    * keep [[DefaultSuperHubDegree]]). Labels are bit-identical on every
+    * route: both round forms compute the same exact neighborhood
+    * minima. `onRound` is invoked after each round with
+    * (`"r<i>_window"` | `"r<i>_fallback"`, wall seconds) — the at-scale
+    * tools record per-round walls through it (default no-op). */
   def runWithStats(spark: SparkSession, pairs: DataFrame, maxRounds: Int = 64,
-      superHubDegree: Long = DefaultSuperHubDegree): (DataFrame, StarStats) = {
+      superHubDegree: Long = DefaultSuperHubDegree,
+      onRound: (String, Double) => Unit = (_, _) => ()): (DataFrame, StarStats) = {
     // The probe RIDES the eager checkpoint's materializing job as
     // observed metrics (CollectMetricsExec = accumulators, no exchange,
     // no extra plan node cost): one job materializes the round AND
@@ -148,9 +168,10 @@ object StarComponents {
     // that extreme the groupBy+join form (combiner-friendly) is the
     // right variant, and since r17 the loop GUARDS it: window group
     // sizes are observed on every round's materializing job and rounds
-    // switch to the fallback once one crosses `superHubDegree` (see
-    // DefaultSuperHubDegree — this also covers the fixpoint mega-star
-    // a giant component inherently becomes).
+    // switch to the fallback once one crosses a SuperHubMargin below
+    // `superHubDegree` (see DefaultSuperHubDegree/SuperHubMargin — this
+    // also covers the fixpoint mega-star a giant component inherently
+    // becomes).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     var prevProbe = probe0
     var converged = prevProbe._1 == 0L
@@ -158,30 +179,52 @@ object StarComponents {
     var maxGroup = 0L
     var combinerFrom = -1
     while (!converged && r < maxRounds) {
+      val roundT0 = System.nanoTime()
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val (next, probe) = if (combinerFrom >= 0) {
         // ---- super-hub fallback round (combiner-friendly) ---------------
         // groupBy+join per-vertex minima: partial aggregation combines
         // map-side, so no single task ever holds a whole neighborhood —
-        // the right shape once a group crossed `superHubDegree` (see
-        // DefaultSuperHubDegree: input super-hubs AND the fixpoint
-        // mega-star of a giant component both land here). Costs more
-        // exchanges per round than the window form (agg + join-back per
-        // star + a mid-round distinct), which is why it is the guarded
-        // exception, not the default.
-        val mins = sym.groupBy("u").agg(min("v").as("m"))
+        // the right shape once a group crossed the guard margin (see
+        // DefaultSuperHubDegree/SuperHubMargin: input super-hubs AND the
+        // fixpoint mega-star of a giant component both land here). Costs
+        // more exchanges per round than the window form (agg + join-back
+        // per star + a mid-round distinct), which is why it is the
+        // guarded exception, not the default. Group sizes keep being
+        // observed here too (a count riding each star's partial agg —
+        // same exchange; the metrics fire with the downstream
+        // materialization per the r17 intermediate-Observation idiom), so
+        // StarStats.maxGroup is the run's TRUE peak: the mega-star keeps
+        // growing after the switch (ADVICE r17).
+        val largeObs = new org.apache.spark.sql.Observation()
+        val mins = sym.groupBy("u").agg(min("v").as("m"), count(lit(1)).as("grp"))
+          .observe(largeObs, coalesce(max("grp"), lit(0L)).as("maxgrp"))
           .select(col("u"), least(col("m"), col("u")).as("m"))
         val large = sym.join(mins, "u").where(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
           .where(col("u") =!= col("v")).distinct()
+        // `o` feeds TWO consumers (the small-star agg and the join-back):
+        // checkpoint it so the large-star join+distinct subplan runs once
+        // instead of recomputing per consumer (ADVICE r17 — on the
+        // multi-GB groups that reach this path the recompute IS the
+        // cost); blocks released right after the round materializes.
         val o = large
           .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        val mins2 = o.groupBy("u").agg(min("v").as("m"))
-        probed(o.join(mins2, "u")
+          .localCheckpoint()
+        val smallObs = new org.apache.spark.sql.Observation()
+        val mins2 = o.groupBy("u").agg(min("v").as("m"), count(lit(1)).as("grp"))
+          .observe(smallObs, coalesce(max("grp"), lit(0L)).as("maxgrp"))
+          .select(col("u"), col("m"))
+        val out = probed(o.join(mins2, "u")
           .select(explode(array(col("v"), col("u"))).as("c"), col("m"))
           .where(col("c") =!= col("m"))
           .select(col("c").as("u"), col("m").as("v"))
           .distinct())
+        releaseCheckpoint(o)
+        val (ml, ms) = (largeObs.get, smallObs.get)
+        maxGroup = math.max(maxGroup,
+          math.max(ml("maxgrp").asInstanceOf[Long], ms("maxgrp").asInstanceOf[Long]))
+        out
       } else {
         // ---- large-star (window form, the normal path) -------------------
         // No intermediate distinct on the large-star output: duplicates
@@ -218,9 +261,14 @@ object StarComponents {
         val (ml, ms) = (largeObs.get, smallObs.get)
         val grp = math.max(ml("maxgrp").asInstanceOf[Long], ms("maxgrp").asInstanceOf[Long])
         maxGroup = math.max(maxGroup, grp)
-        if (grp > superHubDegree) combinerFrom = r + 1
+        // Trip a SuperHubMargin below the danger size (see SuperHubMargin:
+        // sizes grow multiplicatively, so waiting for the danger size
+        // itself means the detection round already ran well past it).
+        if (grp > superHubDegree / SuperHubMargin) combinerFrom = r + 1
         out
       }
+      onRound(s"r${r}_${if (combinerFrom >= 0 && combinerFrom <= r) "fallback" else "window"}",
+        (System.nanoTime() - roundT0) / 1e9)
       if (probe == prevProbe) {
         // Exact confirmation: equal counts + empty one-direction
         // difference ⟹ equal sets (both sides are post-distinct).

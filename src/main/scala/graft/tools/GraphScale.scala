@@ -149,13 +149,23 @@ object GraphScale {
     // is cached and counted outside it); stats and the dump are outside.
     val ccPairs = directed.filter(t => t._1 < t._2).cache()
     val nPairs = ccPairs.count()
-    val ((ccLabels, ccBranch), tCc) = timed {
-      GraphxAnalytics.componentLabels(spark, ccPairs)
+    // Star-round walls + StarStats ride the run (r17 verdict item 7:
+    // every star-routed CC run records rounds / peak group / guard-trip
+    // index, so DefaultSuperHubDegree accumulates observed headroom).
+    val ccRoundWalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ((ccLabels, ccBranch, ccStats), tCc) = timed {
+      GraphxAnalytics.componentLabelsWithStats(spark, ccPairs,
+        onRound = (name, sec) => ccRoundWalls(name) = sec)
     }
     walls("g08_cc") = tCc
     require(nPairs <= GraphxAnalytics.GraphxCcMaxPairs || ccBranch == "star",
       s"$nPairs pairs must route to the star branch (took $ccBranch)")
-    System.err.println(s"[graph-scale] g08 CC branch: $ccBranch ($nPairs pairs)")
+    ccStats.foreach { st =>
+      facts("cc_star_rounds") = st.rounds
+      facts("cc_star_max_group") = st.maxGroup
+      facts("cc_star_combiner_from") = st.combinerFromRound
+    }
+    System.err.println(s"[graph-scale] g08 CC branch: $ccBranch ($nPairs pairs), stats: $ccStats")
     val ccSizes = ccLabels.groupBy("label").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n"), max("sz").as("mx")).head()
     val (nComp, largest) = (ccSizes.getLong(0), ccSizes.getLong(1))
@@ -264,6 +274,7 @@ object GraphScale {
         s""""heap_mb":$heapMax,"cpus":${Runtime.getRuntime.availableProcessors},""" +
         facts.map { case (k, v) => "\"" + k + "\":" + v }.mkString("", ",", ",") +
         s""""walls_sec":${walls.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
+        s""""cc_star_round_walls_sec":${ccRoundWalls.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
         s""""stress_phase_walls_sec":${stressPhases.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
         s""""replay_check":"run tools/graph_scale_check.py $outDir $iters $ScaleAt1M"}"""
     // The directed edge list LAST (it is the biggest dump and the checker

@@ -117,6 +117,46 @@ class StarComponentsSpec extends SparkSuite {
     assert(statsDefault.combinerFromRound == -1, s"default threshold fired: $statsDefault")
   }
 
+  test("guard margin: the trip fires a SuperHubMargin below the danger size") {
+    // r18 (ADVICE r17): star sizes grow multiplicatively per round, so a
+    // guard that waits for the danger size itself detects the crossing
+    // only AFTER a window round already sorted that group in one task.
+    // The trip now fires at superHubDegree / SuperHubMargin. Fixture: a
+    // degree-1002 hub with danger size 10000 — the old ( > danger )
+    // condition would never fire here; the margin trip (> 1000) must.
+    import spark.implicits._
+    val df = (100L until 1102L).map(i => (10L, i)).toDF("u", "v")
+    val (labels, stats) = StarComponents.runWithStats(spark, df, superHubDegree = 10000L)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      ((10L +: (100L until 1102L)).map(_ -> 10L).toMap)) // bounded-collect: test-sized graph
+    assert(stats.maxGroup > 1000L, s"guard metric never saw the hub: $stats")
+    assert(stats.combinerFromRound >= 0,
+      s"margin trip (10000/${StarComponents.SuperHubMargin}) never fired: $stats")
+  }
+
+  test("fallback rounds keep observing group sizes: maxGroup reaches the fixpoint mega-star") {
+    // r18 (ADVICE r17): pre-r18 the group observation rode only WINDOW
+    // rounds, so a guarded run's maxGroup froze at the pre-switch
+    // maximum while the fixpoint mega-star kept growing. Fixture: a
+    // 20-spoke hub trips a tiny margin on round 0 (group 21 > 100/10);
+    // the grafted 65-chain forces several fallback rounds; at the
+    // fixpoint the component root 0 holds all n-1 = 85 other vertices
+    // as direct children, and the last fallback round's aggregate must
+    // observe exactly that group.
+    import spark.implicits._
+    val spokes = (100L until 120L).map(i => (10L, i))
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val df = ((10L, 0L) +: (spokes ++ chain)).toDF("u", "v")
+    val (labels, stats) = StarComponents.runWithStats(spark, df, superHubDegree = 100L)
+    val n = 20 + 65 // spokes + chain(0..64); the hub 10 IS a chain node
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      ((0L to 64L) ++ (100L until 120L)).map(_ -> 0L).toMap) // bounded-collect
+    assert(stats.combinerFromRound >= 0 && stats.rounds > stats.combinerFromRound,
+      s"fallback rounds must actually have run: $stats")
+    assert(stats.maxGroup == n - 1,
+      s"maxGroup must track the fixpoint mega-star (want ${n - 1}): $stats")
+  }
+
   test("per-round exchange shape: window rounds shuffle exactly 3× (AQE-final plans)") {
     // Version-robust form of the round-shape pin (r16 verdict item 6):
     // the scheduler JOB count below encodes AQE's job accounting, which
