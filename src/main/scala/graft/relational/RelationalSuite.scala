@@ -223,10 +223,19 @@ object RelationalSuite {
       // pairs at sf0.01), so a ROWS frame straight over lineitem is
       // nondeterministic. Pre-aggregate to the unique grain first: the frame
       // then has a total order in both engines by construction.
+      // One data shuffle, not two (r18, guide §2.1): hash-distributing by
+      // l_orderkey ALONE up front satisfies both the groupBy's clustering
+      // requirement (a partitioning on a subset of the grouping keys
+      // colocates every (l_orderkey, l_linenumber) group) and the window's
+      // PARTITION BY l_orderkey — the agg→window re-shuffle EnsureRequirements
+      // would otherwise insert disappears (plans/r18: 3 Exchange → 2, and the
+      // one data exchange now carries raw 20-byte rows once instead of
+      // decimal partial-agg buffers plus the re-shuffle).
       (s, d) => {
         val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
           .rowsBetween(-2, Window.currentRow)
         t(s, d, "lineitem")
+          .repartition(col("l_orderkey"))
           .groupBy("l_orderkey", "l_linenumber")
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
           .select(col("l_orderkey"), col("l_linenumber"),
@@ -613,12 +622,23 @@ object RelationalSuite {
 
     QuerySpec("q55_percentiles",
       // Exact linear-interpolated quantiles (Spark `percentile` ==
-      // DuckDB `quantile_cont` semantics).
+      // DuckDB `quantile_cont` semantics). Both l_quantity quantiles come
+      // from ONE percentile(col, array(...)) aggregate (r18, guide §4/§5):
+      // `percentile` is a TypedImperativeAggregate whose buffer is a
+      // value→count OpenHashMap per group — two scalar calls on the same
+      // column built, serialized, shuffled and merged that map TWICE.
+      // The array form keeps one map and evaluates both percentages off
+      // the same sorted counts (identical interpolation arithmetic, so
+      // values are bit-equal — oracle hash unchanged). Spark `[i]` array
+      // access is 0-based.
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("round(percentile(l_quantity, 0.5), 6)").as("p50"),
-          expr("round(percentile(l_quantity, 0.95), 6)").as("p95"),
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.95D))").as("pq"),
           expr("round(percentile(l_extendedprice, 0.25), 6)").as("price_p25"))
+        .select(col("l_returnflag"),
+          expr("round(pq[0], 6)").as("p50"),
+          expr("round(pq[1], 6)").as("p95"),
+          col("price_p25"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
         "round(quantile_cont(l_quantity, 0.95), 6) AS p95, " +
